@@ -1,0 +1,254 @@
+"""Ingestion: trajectory construction invariants + north-rule documents.
+
+S1/S2 (reference trajectory.py:56-192, trajectory_collection.py:28-96):
+the constructor invariants become one lazy plan — timestamp parse,
+dedup-keep-first per (traj_id, t), ≥2-row group filter, optional
+min_duration / min_length filters — shuffling once on traj_id.
+
+North rule (BASELINE.json:14-15 / FIXTURES.md §3): interleaved
+text+media documents (doc_id, spans array<struct<kind,text,media_ref,
+offset>>) are synthesized deterministically JVM-side, exploded into
+trajectory points (text spans carry "t_unix;lon;lat" payloads), and
+reassembled with exact span-sequence equality (kind, text, media_ref,
+order) as the per-row invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movingspark.schema import PointCols, TRAJ_COLS
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — trajectory point-table construction
+# ---------------------------------------------------------------------------
+
+
+def make_traj_points(
+    df: DataFrame,
+    traj_id,
+    t,
+    x,
+    y,
+    obj_id=None,
+    tiebreak=None,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Normalize an arbitrary DataFrame into the canonical point table.
+
+    Applies the reference construction invariants (trajectory.py:121-130):
+    duplicate timestamps within a trajectory dropped keep-first (first =
+    lowest `tiebreak`, required for determinism in a distributed setting;
+    pandas keep-first depends on input order, which has no distributed
+    meaning), and groups with < min_rows rows discarded.
+    """
+    sel = [
+        F.col(traj_id).cast("string").alias("traj_id"),
+        F.col(t).cast("timestamp").alias("t"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+    ]
+    if obj_id is not None:
+        sel.append(F.col(obj_id).cast("string").alias("obj_id"))
+    extra = [c for c in df.columns if c not in {traj_id, t, x, y, obj_id}]
+    sel += [F.col(c) for c in extra]
+    out = df.select(*sel)
+
+    order = [F.col(tiebreak)] if tiebreak is not None else [F.monotonically_increasing_id()]
+    w_dup = Window.partitionBy("traj_id", "t").orderBy(*order)
+    out = out.withColumn("__rn", F.row_number().over(w_dup)).filter(F.col("__rn") == 1).drop("__rn")
+
+    w_cnt = Window.partitionBy("traj_id")
+    out = out.withColumn("__n", F.count("*").over(w_cnt)).filter(F.col("__n") >= min_rows).drop("__n")
+    return out
+
+
+def filter_min_duration(df: DataFrame, min_duration_s: float, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """Drop trajectories shorter than min_duration seconds
+    (trajectory_collection.py:246-253)."""
+    w = Window.partitionBy(cols.traj_id)
+    dur = (F.unix_micros(F.max(cols.t).over(w)) - F.unix_micros(F.min(cols.t).over(w))) / 1e6
+    return df.withColumn("__dur", dur).filter(F.col("__dur") > min_duration_s).drop("__dur")
+
+
+def filter_min_length(
+    df: DataFrame, min_length: float, latlon: bool = False, cols: PointCols = TRAJ_COLS
+) -> DataFrame:
+    """Drop trajectories whose path length < min_length
+    (trajectory_collection.py:246-253; length per trajectory.py:1005-1033)."""
+    from movingspark.derive import dist_expr, traj_window
+
+    w = traj_window(cols)
+    seg = F.coalesce(
+        dist_expr(F.lag(cols.x).over(w), F.lag(cols.y).over(w), F.col(cols.x), F.col(cols.y), latlon),
+        F.lit(0.0),
+    )
+    wlen = Window.partitionBy(cols.traj_id)
+    return (
+        df.withColumn("__seg", seg)
+        .withColumn("__len", F.sum("__seg").over(wlen))
+        .filter(F.col("__len") > min_length)
+        .drop("__seg", "__len")
+    )
+
+
+def events_as_traj_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's `events` table to trajectory points (FIXTURES.md §5):
+    traj_id=user_id, t=ts, x=value, y=event_id%100 — deterministic and
+    reproducible in DuckDB oracle SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("traj_id"),
+        F.col("ts").alias("t"),
+        F.col("value").cast("double").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        "event_type",
+    )
+    return make_traj_points(ev, "traj_id", "t", "x", "y", tiebreak="event_id")
+
+
+# SQL fragment used by every DuckDB oracle that consumes events-as-points.
+EVENTS_POINTS_ORACLE = """
+    SELECT * FROM (
+        SELECT CAST(user_id AS VARCHAR) AS traj_id,
+               ts AS t,
+               CAST(value AS DOUBLE) AS x,
+               CAST(event_id % 100 AS DOUBLE) AS y,
+               event_type,
+               event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS __rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS __n0
+        FROM events
+    ) WHERE __rn = 1
+"""
+
+# after dedup, re-check group size (dedup can shrink groups)
+EVENTS_POINTS_ORACLE_FULL = f"""
+    SELECT traj_id, t, x, y, event_type, event_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY traj_id) AS __n
+        FROM ({EVENTS_POINTS_ORACLE})
+    ) WHERE __n >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# North-rule interleaved documents (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+
+def synth_interleaved_docs(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic interleaved text+media document table, built entirely
+    JVM-side (spark.range + sequence/transform — no Python in the loop).
+
+    Doc i has 4 + (i % 13) spans alternating text/media; text spans carry
+    "t_unix;lon;lat" observation payloads (closed form, seed-free).
+    """
+    doc = spark.range(n_docs).withColumnRenamed("id", "i")
+    return (
+        doc.select(
+            F.format_string("doc%09d", F.col("i")).alias("doc_id"),
+            F.expr(
+                """
+                transform(sequence(0, cast(3 + i % 13 as int)), k -> named_struct(
+                  'kind', IF(k % 2 = 0, 'text', 'media'),
+                  'text', IF(k % 2 = 0,
+                             format_string('%d;%.6f;%.6f',
+                               1500000000 + i * 3600 + k * 10,
+                               CAST(-180.0 + ((i * 7919 + k * 104729) % 360000) / 1000.0 AS DOUBLE),
+                               CAST(-85.0 + ((i * 104729 + k * 7919) % 170000) / 1000.0 AS DOUBLE)),
+                             CAST(NULL AS STRING)),
+                  'media_ref', IF(k % 2 = 1,
+                                  concat('mem://media/', format_string('doc%09d', i), '/', k, '.bin'),
+                                  CAST(NULL AS STRING)),
+                  'offset', cast(k as int)))
+                """
+            ).alias("spans"),
+        )
+    )
+
+
+# DuckDB rendition of the same closed-form table, for oracle checks.
+def docs_oracle_sql(n_docs: int) -> str:
+    return f"""
+        SELECT printf('doc%09d', i) AS doc_id,
+               list_transform(range(0, 4 + i % 13), k -> struct_pack(
+                   kind := CASE WHEN k % 2 = 0 THEN 'text' ELSE 'media' END,
+                   text := CASE WHEN k % 2 = 0 THEN printf('%d;%.6f;%.6f',
+                               1500000000 + i * 3600 + k * 10,
+                               -180.0 + ((i * 7919 + k * 104729) % 360000) / 1000.0,
+                               -85.0 + ((i * 104729 + k * 7919) % 170000) / 1000.0)
+                           END,
+                   media_ref := CASE WHEN k % 2 = 1 THEN
+                               'mem://media/' || printf('doc%09d', i) || '/' || k || '.bin'
+                           END,
+                   "offset" := CAST(k AS INT))) AS spans
+        FROM range({n_docs}) t(i)
+    """
+
+
+def explode_doc_points(docs: DataFrame) -> DataFrame:
+    """Explode text spans into trajectory points: traj_id=doc_id,
+    t from the unix payload, x=lon, y=lat, keeping (offset) for
+    reassembly. Media spans pass through untouched (opaque binary refs)."""
+    sp = docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    pts = (
+        sp.filter(F.col("span.kind") == "text")
+        .select(
+            F.col("doc_id").alias("traj_id"),
+            F.col("span.offset").alias("offset"),
+            F.split(F.col("span.text"), ";").alias("__p"),
+        )
+        .select(
+            "traj_id",
+            "offset",
+            F.timestamp_seconds(F.col("__p")[0].cast("long")).alias("t"),
+            F.col("__p")[1].cast("double").alias("x"),
+            F.col("__p")[2].cast("double").alias("y"),
+        )
+    )
+    return pts
+
+
+def reassemble_docs(docs: DataFrame) -> DataFrame:
+    """Round-trip: explode all spans and reassemble per doc ordered by
+    offset — the north-rule span-sequence invariant (BASELINE.json:15)."""
+    sp = docs.select("doc_id", F.explode("spans").alias("span"))
+    return sp.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span.offset").alias("offset"),
+                    F.col("span.kind").alias("kind"),
+                    F.col("span.text").alias("text"),
+                    F.col("span.media_ref").alias("media_ref"),
+                )
+            )
+        ).alias("spans_sorted")
+    ).select(
+        "doc_id",
+        F.transform(
+            "spans_sorted",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def span_invariant_violations(docs: DataFrame) -> DataFrame:
+    """Rows = docs whose explode->reassemble round trip does NOT preserve
+    the exact span sequence (kind, text, media_ref, order). Empty result
+    == invariant holds."""
+    rebuilt = reassemble_docs(docs).withColumnRenamed("spans", "spans_rt")
+    joined = docs.join(rebuilt, "doc_id", "full_outer")
+    return joined.filter(
+        F.col("spans").isNull()
+        | F.col("spans_rt").isNull()
+        | (F.to_json(F.col("spans")) != F.to_json(F.col("spans_rt")))
+    ).select("doc_id")

@@ -1,0 +1,381 @@
+"""Vectorized numpy kernels.
+
+Everything the reference delegates to shapely/geopy, re-derived as pure
+numpy so it can run inside Arrow-batched pandas UDFs (no shapely/geopy
+in the cluster environment, and object-dtype geometries would defeat
+Arrow transfer anyway).
+
+Parity targets (reference files):
+- geodesic distance  ~ geopy WGS84 Karney   (geometry_utils.py:59-85)
+- spherical distance = haversine R=6371000  (geometry_utils.py:29-47)
+- compass bearing                            (geometry_utils.py:126-155)
+- azimuth                                    (geometry_utils.py:158-168)
+- angular difference                         (geometry_utils.py:171-178)
+- mrr_diagonal                               (geometry_utils.py:181-196)
+- convex hull (get_mcp)                      (trajectory.py:1731-1744)
+- Douglas-Peucker                            (trajectory_generalizer.py:172-205)
+- TDTR (Meratnia & de By 2004)               (trajectory_generalizer.py:208-277)
+- discrete Hausdorff                         (trajectory.py:1587-1627)
+- point-in-polygon ray casting               (overlay.py:155-168)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from movingspark.schema import R_EARTH, WGS84_A, WGS84_F
+
+# --------------------------------------------------------------------------
+# distances & bearings
+# --------------------------------------------------------------------------
+
+
+def euclidean(x1, y1, x2, y2):
+    """Planar distance in CRS units (geometry_utils.py:50-56)."""
+    return np.hypot(np.asarray(x2) - x1, np.asarray(y2) - y1)
+
+
+def haversine(lon1, lat1, lon2, lat2, radius=R_EARTH):
+    """Spherical distance in meters (geometry_utils.py:29-47)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def geodesic(lon1, lat1, lon2, lat2, iterations=60, tol=1e-12):
+    """WGS84 geodesic inverse distance in meters, vectorized Vincenty.
+
+    Matches geopy's Karney geodesic (geometry_utils.py:59-85) to well
+    under the reference test tolerance (~1 m at ~676 km,
+    test_trajectory.py:712-717); Vincenty agrees with Karney to <1 mm
+    except for nearly-antipodal pairs, where we fall back to haversine.
+    """
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+
+    a = WGS84_A
+    f = WGS84_F
+    b = a * (1.0 - f)
+
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    active = np.ones(np.broadcast(L, U1, U2).shape, dtype=bool)
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos_sq_alpha = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+
+    for _ in range(iterations):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        ss = np.hypot(t1, t2)
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sg = np.arctan2(ss, cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(ss != 0.0, cosU1 * cosU2 * sin_lam / np.where(ss == 0.0, 1.0, ss), 0.0)
+        csa = 1.0 - sin_alpha**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2sm = np.where(csa != 0.0, cs - 2.0 * sinU1 * sinU2 / np.where(csa == 0.0, 1.0, csa), 0.0)
+        C = f / 16.0 * csa * (4.0 + f * (4.0 - 3.0 * csa))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sg + C * ss * (c2sm + C * cs * (-1.0 + 2.0 * c2sm**2))
+        )
+        upd = active
+        sin_sigma = np.where(upd, ss, sin_sigma)
+        cos_sigma = np.where(upd, cs, cos_sigma)
+        sigma = np.where(upd, sg, sigma)
+        cos_sq_alpha = np.where(upd, csa, cos_sq_alpha)
+        cos2sm = np.where(upd, c2sm, cos2sm)
+        delta = np.abs(lam_new - lam)
+        lam = np.where(upd, lam_new, lam)
+        active = active & (delta > tol)
+        if not active.any():
+            break
+
+    u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    delta_sigma = B * sin_sigma * (
+        cos2sm
+        + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos2sm**2)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sigma**2) * (-3.0 + 4.0 * cos2sm**2)
+        )
+    )
+    dist = b * A * (sigma - delta_sigma)
+
+    same = (lon1 == lon2) & (lat1 == lat2)
+    dist = np.where(same, 0.0, dist)
+    # non-converged (near-antipodal): haversine fallback
+    if active.any():
+        dist = np.where(active & ~same, haversine(lon1, lat1, lon2, lat2), dist)
+    return dist
+
+
+def compass_bearing(lon1, lat1, lon2, lat2):
+    """Initial great-circle bearing, degrees [0, 360) (geometry_utils.py:126-155)."""
+    lat1r = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2r = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    xx = np.sin(dlon) * np.cos(lat2r)
+    yy = np.cos(lat1r) * np.sin(lat2r) - np.sin(lat1r) * np.cos(lat2r) * np.cos(dlon)
+    return (np.degrees(np.arctan2(xx, yy)) + 360.0) % 360.0
+
+
+def azimuth(x1, y1, x2, y2):
+    """Planar bearing, degrees [0, 360) (geometry_utils.py:158-168)."""
+    ang = np.degrees(np.arctan2(np.asarray(x2) - x1, np.asarray(y2) - y1))
+    return np.where(ang < 0.0, ang + 360.0, ang)
+
+
+def angular_difference(d1, d2):
+    """Smaller angle between two headings, degrees [0, 180] (geometry_utils.py:171-178)."""
+    diff = np.abs(np.asarray(d1, dtype=np.float64) - np.asarray(d2, dtype=np.float64))
+    return np.where(diff > 180.0, np.abs(diff - 360.0), diff)
+
+
+# --------------------------------------------------------------------------
+# hulls / rectangles
+# --------------------------------------------------------------------------
+
+
+def convex_hull(xy: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull; returns hull vertices CCW, (k,2).
+
+    Backs get_mcp (trajectory.py:1731-1744) and mrr_diagonal.
+    Collinear inputs return the two extreme points.
+    """
+    pts = np.unique(np.asarray(xy, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 2:  # all identical
+        return pts[:1]
+    return hull
+
+
+def mrr_diagonal(xy: np.ndarray, spherical: bool = False) -> float:
+    """Diagonal length of the minimum rotated rectangle of a point set
+    (geometry_utils.py:181-196): distance between opposite rect corners,
+    geodesic when spherical. 2 points -> their distance; collinear ->
+    distance between extreme points; <2 distinct -> 0.
+    """
+    xy = np.asarray(xy, dtype=np.float64)
+
+    def _dist(p, q):
+        if spherical:
+            return float(geodesic(p[0], p[1], q[0], q[1]))
+        return float(np.hypot(q[0] - p[0], q[1] - p[1]))
+
+    if len(xy) == 2:
+        # shapely MultiPoint of 2 -> measure_distance directly
+        return _dist(xy[0], xy[1])
+    hull = convex_hull(xy)
+    if len(hull) == 1:
+        return 0.0
+    if len(hull) == 2:  # collinear -> LineString mrr branch
+        return _dist(hull[0], hull[1])
+    # rotating calipers: try each hull edge as rectangle orientation
+    best_area = np.inf
+    best_corners = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(e[0], e[1])
+        if norm == 0.0:
+            continue
+        ux, uy = e / norm  # edge direction; normal = (-uy, ux)
+        r = hull @ np.array([[ux, -uy], [uy, ux]])  # rotate into edge frame
+        minx, miny = r.min(axis=0)
+        maxx, maxy = r.max(axis=0)
+        area = (maxx - minx) * (maxy - miny)
+        if area < best_area:
+            best_area = area
+            inv = np.array([[ux, uy], [-uy, ux]])
+            corners = np.array(
+                [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]]
+            ) @ inv
+            best_corners = corners
+    return _dist(best_corners[0], best_corners[2])
+
+
+# --------------------------------------------------------------------------
+# generalization kernels
+# --------------------------------------------------------------------------
+
+
+def dp_mask(xy: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask (stack-based, perpendicular distance).
+
+    GEOS simplify(preserve_topology=False) semantics
+    (trajectory_generalizer.py:189): output vertices are a subset of the
+    input, so a keep-mask reproduces the reference row selection.
+    """
+    xy = np.asarray(xy, dtype=np.float64)
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0, p1 = xy[i0], xy[i1]
+        seg = p1 - p0
+        seg_len = np.hypot(*seg)
+        mid = xy[i0 + 1 : i1]
+        if seg_len == 0.0:
+            d = np.hypot(mid[:, 0] - p0[0], mid[:, 1] - p0[1])
+        else:
+            d = np.abs(np.cross(seg, mid - p0)) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return keep
+
+
+def tdtr_mask(xy: np.ndarray, t_sec: np.ndarray, tolerance: float) -> np.ndarray:
+    """Top-Down Time-Ratio keep-mask (Meratnia & de By 2004;
+    trajectory_generalizer.py:208-277): each interior point is compared
+    against its time-ratio projection onto the chord; split at the max
+    deviation when it exceeds tolerance.
+    """
+    xy = np.asarray(xy, dtype=np.float64)
+    t = np.asarray(t_sec, dtype=np.float64)
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        dt = t[i1] - t[i0]
+        mid_t = t[i0 + 1 : i1]
+        ratio = np.zeros_like(mid_t) if dt == 0.0 else (mid_t - t[i0]) / dt
+        proj = xy[i0] + ratio[:, None] * (xy[i1] - xy[i0])
+        d = np.hypot(*(xy[i0 + 1 : i1] - proj).T)
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return keep
+
+
+def hausdorff(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Hausdorff distance between two vertex sets
+    (trajectory.py:1587-1627; shapely's hausdorff_distance is
+    vertex-discrete, so this matches for vertex-defined linestrings).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = np.hypot(a[:, None, 0] - b[None, :, 0], a[:, None, 1] - b[None, :, 1])
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+# --------------------------------------------------------------------------
+# polygon kernels
+# --------------------------------------------------------------------------
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon (boundary counts as inside
+    via the even-odd rule with on-edge tolerance). poly is (k,2), closed
+    or open ring. Backs overlay.py:155-168 (df.intersects(polygon))."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    x0 = poly[:, 0]
+    y0 = poly[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+
+    inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
+    for i in range(len(poly)):
+        xa, ya, xb, yb = x0[i], y0[i], x1[i], y1[i]
+        cond = (ya > py) != (yb > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (py - ya) * (xb - xa) / np.where(yb == ya, 1.0, (yb - ya))
+        inside ^= cond & (px < xint)
+        # on-segment check (shapely intersects counts boundary)
+        cross = (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
+        within = (
+            (np.abs(cross) < 1e-12)
+            & (px >= np.minimum(xa, xb) - 1e-12)
+            & (px <= np.maximum(xa, xb) + 1e-12)
+            & (py >= np.minimum(ya, yb) - 1e-12)
+            & (py <= np.maximum(ya, yb) + 1e-12)
+        )
+        on_edge |= within
+    return inside | on_edge
+
+
+def segment_polygon_clip(p0, p1, poly: np.ndarray):
+    """Clip segment p0->p1 against a simple polygon; returns list of
+    (t_enter, t_exit) parameter intervals (0..1) where the segment lies
+    inside the polygon. Backs the overlay clip (overlay.py:12-46).
+
+    Works for convex and concave simple polygons: collect edge-crossing
+    parameters, classify midpoints of the resulting sub-intervals.
+    """
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    d = p1 - p0
+    params = [0.0, 1.0]
+    n = len(poly)
+    for i in range(n):
+        a = poly[i]
+        b = poly[(i + 1) % n]
+        e = b - a
+        denom = d[0] * e[1] - d[1] * e[0]
+        if denom == 0.0:
+            continue
+        # p0 + t*d = a + s*e
+        w = a - p0
+        t = (w[0] * e[1] - w[1] * e[0]) / denom
+        s = (w[0] * d[1] - w[1] * d[0]) / denom
+        if 0.0 <= t <= 1.0 and 0.0 <= s <= 1.0:
+            params.append(t)
+    params = sorted(set(params))
+    out = []
+    for t0, t1 in zip(params[:-1], params[1:]):
+        mid = p0 + (t0 + t1) / 2.0 * d
+        if point_in_polygon(np.array([mid[0]]), np.array([mid[1]]), poly)[0]:
+            if out and abs(out[-1][1] - t0) < 1e-15:
+                out[-1] = (out[-1][0], t1)
+            else:
+                out.append((t0, t1))
+    return out

@@ -1,0 +1,152 @@
+"""TrajectoryStopDetector (X1) + stop-point summary (A11).
+
+The detection loop is inherently sequential per trajectory (carried
+buffer state), so it runs as one grouped-map pandas UDF per trajectory
+(groupBy(traj_id).applyInPandas) — Spark parallelizes across
+trajectories; loop semantics ported exactly from the reference
+(trajectory_stop_detector.py:122-187):
+
+- grow a point buffer; while not stopped, shrink its head so the window
+  stays >= min_duration (keeping > 2 points)
+- cheap bbox-diagonal prefilter d < max_diameter*1.5 (geodesic if
+  latlon), then exact mrr_diagonal < max_diameter
+- when a stop ends, emit [ts[0], ts[-2]] if >= min_duration and reset
+  the buffer to the breaking point; trailing stop flushed at the end
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movingspark import kernels
+from movingspark.schema import PointCols, TRAJ_COLS
+
+RANGE_SCHEMA = "traj_id string, start_t timestamp, end_t timestamp"
+
+
+def _detect_stops_np(xs: np.ndarray, ys: np.ndarray, ts: np.ndarray, max_diameter: float, min_duration_s: float, latlon: bool):
+    """Port of _process_traj (trajectory_stop_detector.py:122-187).
+    ts are float seconds; returns list of (t0, tn) index pairs into ts."""
+    out = []
+    buf: list[int] = []  # indices into xs/ys/ts
+    is_stopped = False
+    previously_stopped = False
+    n = len(ts)
+    for i in range(n):
+        buf.append(i)
+        if not is_stopped:
+            first_to_keep = 0
+            while (
+                len(buf) - first_to_keep > 2
+                and ts[i] - ts[buf[first_to_keep]] >= min_duration_s
+            ):
+                first_to_keep += 1
+            buf = buf[first_to_keep:]
+
+        bx = xs[buf]
+        by = ys[buf]
+        minx, maxx = bx.min(), bx.max()
+        miny, maxy = by.min(), by.max()
+
+        is_stopped = False
+        if len(buf) > 1:
+            if latlon:
+                d = float(kernels.geodesic(minx, miny, maxx, maxy))
+            else:
+                d = float(np.hypot(maxx - minx, maxy - miny))
+            if d < max_diameter * 1.5:
+                if kernels.mrr_diagonal(np.column_stack([bx, by]), latlon) < max_diameter:
+                    is_stopped = True
+
+        if not is_stopped and previously_stopped and len(buf) > 1:
+            seg_begin = ts[buf[0]]
+            seg_end = ts[buf[-2]]
+            if seg_end - seg_begin >= min_duration_s:
+                out.append((seg_begin, seg_end))
+                buf = buf[-1:]
+
+        previously_stopped = is_stopped
+
+    if is_stopped and ts[buf[-1]] - ts[buf[0]] >= min_duration_s:
+        out.append((ts[buf[0]], ts[buf[-1]]))
+    return out
+
+
+def get_stop_time_ranges(
+    df: DataFrame,
+    max_diameter: float,
+    min_duration_s: float,
+    latlon: bool = False,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Detected stops as (traj_id, start_t, end_t)."""
+
+    def per_traj(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(cols.t)
+        ts = pdf[cols.t].astype("int64").to_numpy() / 1e9
+        stops = _detect_stops_np(
+            pdf[cols.x].to_numpy(float),
+            pdf[cols.y].to_numpy(float),
+            ts,
+            max_diameter,
+            min_duration_s,
+            latlon,
+        )
+        tid = pdf[cols.traj_id].iloc[0]
+        return pd.DataFrame(
+            {
+                "traj_id": [tid] * len(stops),
+                "start_t": [pd.Timestamp(s * 1e9) for s, _ in stops],
+                "end_t": [pd.Timestamp(e * 1e9) for _, e in stops],
+            }
+        )
+
+    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=RANGE_SCHEMA)
+
+
+def attach_ranges(df: DataFrame, ranges: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """Inner range-join of points to stop ranges (t BETWEEN start_t AND
+    end_t). Ranges are few relative to points — broadcast them so the
+    join needs no shuffle of the point table."""
+    return df.join(
+        F.broadcast(ranges),
+        on=[
+            df[cols.traj_id] == ranges["traj_id"],
+            df[cols.t] >= ranges["start_t"],
+            df[cols.t] <= ranges["end_t"],
+        ],
+        how="inner",
+    ).drop(ranges["traj_id"])
+
+
+def get_stop_points(
+    df: DataFrame,
+    max_diameter: float,
+    min_duration_s: float,
+    latlon: bool = False,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """A11 (trajectory_stop_detector.py:219-267): per stop the median
+    location, start/end time, duration seconds and parent traj id;
+    stop_id = "{traj_id}_{start_t}" (get_segment_between naming,
+    trajectory.py:974)."""
+    ranges = get_stop_time_ranges(df, max_diameter, min_duration_s, latlon, cols)
+    joined = attach_ranges(df, ranges, cols)
+    agg = joined.groupBy(cols.traj_id, "start_t", "end_t").agg(
+        F.percentile(cols.x, F.lit(0.5)).alias("x"),
+        F.percentile(cols.y, F.lit(0.5)).alias("y"),
+        F.min(cols.t).alias("start_time"),
+        F.max(cols.t).alias("end_time"),
+    )
+    return agg.select(
+        F.concat_ws("_", cols.traj_id, F.date_format("start_t", "yyyy-MM-dd HH:mm:ss")).alias("stop_id"),
+        F.col(cols.traj_id).alias("traj_id"),
+        "start_time",
+        "end_time",
+        ((F.unix_micros("end_time") - F.unix_micros("start_time")) / 1e6).alias("duration_s"),
+        "x",
+        "y",
+    )

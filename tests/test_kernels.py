@@ -1,0 +1,113 @@
+"""Kernel parity with reference geometry_utils (tests/test_geometry_utils.py)."""
+
+import numpy as np
+import pytest
+
+from movingspark import kernels as K
+
+
+def test_geodesic_reference_constant():
+    # test_trajectory.py:712-717: (0,1)->(6,0) latlon ~ 676.3 km (abs 1 km)
+    d = float(K.geodesic(0.0, 1.0, 6.0, 0.0))
+    assert d / 1000 == pytest.approx(676.3, abs=1)
+    # nm variant (test_trajectory.py:719-723)
+    assert d / 1852.0 == pytest.approx(365, abs=1)
+
+
+def test_geodesic_zero_and_symmetry():
+    assert float(K.geodesic(10.0, 20.0, 10.0, 20.0)) == 0.0
+    a = float(K.geodesic(0.0, 0.0, 90.0, 0.0))
+    b = float(K.geodesic(90.0, 0.0, 0.0, 0.0))
+    assert a == pytest.approx(b, rel=1e-12)
+    # quarter equator on WGS84 ~ 10018754.17 m
+    assert a == pytest.approx(10018754.17, abs=1.0)
+
+
+def test_haversine_matches_reference_radius():
+    # 1 degree of longitude at equator, R=6371000 (geometry_utils.py:18)
+    d = float(K.haversine(0.0, 0.0, 1.0, 0.0))
+    assert d == pytest.approx(6371000 * np.pi / 180, rel=1e-9)
+
+
+def test_compass_bearing():
+    # test_trajectory.py:375-381: (0,0)->(10,10) latlon
+    assert float(K.compass_bearing(0.0, 0.0, 10.0, 10.0)) == pytest.approx(
+        44.561451413257714, abs=1e-5
+    )
+    assert float(K.compass_bearing(0.0, 0.0, 0.0, 1.0)) == 0.0
+    assert float(K.compass_bearing(0.0, 0.0, 1.0, 0.0)) == 90.0
+
+
+def test_azimuth_cardinals():
+    # test_geometry_utils.py azimuth at compass points
+    assert float(K.azimuth(0, 0, 0, 1)) == 0.0
+    assert float(K.azimuth(0, 0, 1, 0)) == 90.0
+    assert float(K.azimuth(0, 0, 0, -1)) == 180.0
+    assert float(K.azimuth(0, 0, -1, 0)) == 270.0
+    assert float(K.azimuth(0, 0, 1, 1)) == 45.0
+
+
+def test_angular_difference():
+    assert float(K.angular_difference(90, 180)) == 90.0
+    assert float(K.angular_difference(350, 10)) == 20.0
+    assert float(K.angular_difference(10, 350)) == 20.0
+    assert float(K.angular_difference(0, 180)) == 180.0
+
+
+def test_convex_hull_square():
+    xy = np.array([[0, 0], [6, 0], [10, 0], [10, 10], [0, 10], [5, 5]], float)
+    hull = K.convex_hull(xy)
+    assert sorted(map(tuple, hull)) == [(0, 0), (0, 10), (10, 0), (10, 10)]
+
+
+def test_mrr_diagonal():
+    # square 10x10 -> diagonal sqrt(200)
+    xy = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    assert K.mrr_diagonal(xy) == pytest.approx(np.sqrt(200.0))
+    # two points -> their distance (geometry_utils.py:189-190)
+    assert K.mrr_diagonal(np.array([[0, 0], [3, 4]], float)) == 5.0
+    # collinear -> endpoint distance (LineString mrr branch)
+    assert K.mrr_diagonal(np.array([[0, 0], [1, 1], [5, 5]], float)) == pytest.approx(
+        np.sqrt(50)
+    )
+    # point cluster spread < diameter (stop detector uses this)
+    xy = np.array([[0, 20], [0, 21], [0, 22]], float)
+    assert K.mrr_diagonal(xy) == pytest.approx(2.0)
+
+
+def test_dp_mask_keeps_significant_vertex():
+    xy = np.array([[0, 0], [1, 0.1], [2, 0], [3, 5], [4, 0]], float)
+    assert K.dp_mask(xy, 1.0).tolist() == [True, False, True, True, True]
+    # tolerance larger than any deviation -> endpoints only
+    assert K.dp_mask(xy, 100.0).tolist() == [True, False, False, False, True]
+
+
+def test_tdtr_mask_time_ratio():
+    # point 1 is exactly on the time-ratio projection -> dropped
+    xy = np.array([[0, 0], [5, 0], [10, 0]], float)
+    t = np.array([0.0, 5.0, 10.0])
+    assert K.tdtr_mask(xy, t, 0.1).tolist() == [True, False, True]
+    # same geometry but skewed time -> projection misses -> kept
+    t2 = np.array([0.0, 1.0, 10.0])
+    assert K.tdtr_mask(xy, t2, 0.1).tolist() == [True, True, True]
+
+
+def test_hausdorff():
+    a = np.array([[0, 0], [1, 0]], float)
+    b = np.array([[0, 1], [1, 1]], float)
+    assert K.hausdorff(a, b) == 1.0
+
+
+def test_point_in_polygon_with_boundary():
+    poly = np.array([[30, 25], [50, 25], [50, 15], [30, 15]], float)
+    px = np.array([40.0, 0.0, 30.0, 50.0, 40.0])
+    py = np.array([20.0, 0.0, 25.0, 15.0, 25.0])
+    assert K.point_in_polygon(px, py, poly).tolist() == [True, False, True, True, True]
+
+
+def test_segment_polygon_clip():
+    poly = np.array([[30, 25], [50, 25], [50, 15], [30, 15]], float)
+    assert K.segment_polygon_clip([20, 20], [60, 20], poly) == [(0.25, 0.75)]
+    assert K.segment_polygon_clip([0, 0], [10, 0], poly) == []
+    # fully inside
+    assert K.segment_polygon_clip([35, 20], [45, 20], poly) == [(0.0, 1.0)]

@@ -1,0 +1,225 @@
+"""Cells / spatial joins / overlay clip (SURVEY.md §2.3, §2.9 X19)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from movingspark import cells, joins, overlay
+from tests.conftest import rows_to_points
+
+
+def test_cell_id_expr_matches_numpy(spark):
+    xs = np.array([-179.9, 0.0, 10.5, 179.9, -180.0, 180.0])
+    ys = np.array([-89.9, 0.0, 45.1, 89.9, -90.0, 90.0])
+    res = 8
+    expected = cells.cell_id_np(xs, ys, res).tolist()
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    got = [r["c"] for r in df.select(cells.cell_id_expr(F.col("x"), F.col("y"), res).alias("c")).collect()]
+    assert got == expected
+
+
+def test_cell_id_sql_matches_expr(spark):
+    import duckdb
+
+    res = 6
+    xs = np.linspace(-179, 179, 37)
+    ys = np.linspace(-89, 89, 37)
+    expected = cells.cell_id_np(xs, ys, res).tolist()
+    sql = cells.cell_id_sql("x", "y", res)
+    got = duckdb.sql(
+        "SELECT " + sql + " AS c FROM (SELECT unnest(?) x, unnest(?) y)",
+        params=[xs.tolist(), ys.tolist()],
+    ).df()["c"].tolist()
+    assert got == expected
+
+
+def test_polygon_cover_and_bounds():
+    poly = np.array([[30, 25], [50, 25], [50, 15], [30, 15]], float)
+    res = 6
+    cover, full = cells.polygon_cover(poly, res)
+    assert len(cover) > 0
+    b = cells.cell_bounds_np(cover, res)
+    # every covered cell's box overlaps the polygon bbox
+    assert (b[:, 2] >= 30).all() and (b[:, 0] <= 50).all()
+    assert (b[:, 3] >= 15).all() and (b[:, 1] <= 25).all()
+    # at res 6 the world cell is 5.625 x 2.8125 deg -> some cells fully inside
+    assert full.any() and (~full).any()
+
+
+def test_point_in_polygon_join(spark):
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 40, 20),  # inside
+            (1, "2020-01-01T00:00:10", 0, 0),  # outside
+            (2, "2020-01-01T00:00:00", 31, 16),  # inside
+            (2, "2020-01-01T00:00:10", 60, 20),  # outside
+        ],
+    )
+    poly = [(30, 25), (50, 25), (50, 15), (30, 15)]
+    hits = joins.point_in_polygon_join(df, [("zone1", poly)], res=6)
+    got = {(r["traj_id"], r["x"], r["y"], r["poly_id"]) for r in hits.collect()}
+    assert got == {("1", 40.0, 20.0, "zone1"), ("2", 31.0, 16.0, "zone1")}
+
+
+def test_intersecting_traj_ids(spark):
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 40, 20),
+            (1, "2020-01-01T00:00:10", 0, 0),
+            (2, "2020-01-01T00:00:00", 0, 0),
+            (2, "2020-01-01T00:00:10", 1, 1),
+        ],
+    )
+    poly = [(30, 25), (50, 25), (50, 15), (30, 15)]
+    ids = {r["traj_id"] for r in joins.intersecting_traj_ids(df, poly, res=6).collect()}
+    assert ids == {"1"}
+
+
+def test_knn_join(spark):
+    pts = rows_to_points(
+        spark,
+        [(1, "2020-01-01T00:00:00", 0, 0), (1, "2020-01-01T00:00:10", 10, 10)],
+    )
+    cents = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 9.0, 9.0), ("c", 20.0, 20.0)],
+        "cluster_id string, cx double, cy double",
+    )
+    out = joins.knn_join(pts, cents, k=1)
+    got = {(r["x"], r["cluster_id"]) for r in out.collect()}
+    assert got == {(0.0, "a"), (10.0, "b")}
+    # k=2
+    out2 = joins.knn_join(pts, cents, k=2)
+    assert out2.count() == 4
+
+
+def test_knn_join_pruned_matches_brute(spark):
+    rows = [(1, f"2020-01-01T00:{i:02d}:00", float(i * 3 % 50), float(i * 7 % 50)) for i in range(20)]
+    pts = rows_to_points(spark, rows)
+    cents = spark.createDataFrame(
+        [(f"c{i}", float(i * 11 % 50), float(i * 5 % 50)) for i in range(6)],
+        "cluster_id string, cx double, cy double",
+    )
+    brute = {(r["t"], r["cluster_id"]) for r in joins.knn_join(pts, cents, k=1).collect()}
+    # res=2 -> world cell 90x45 deg, all action within one ring
+    pruned = {(r["t"], r["cluster_id"]) for r in joins.knn_join_pruned(pts, cents, res=2, k=1).collect()}
+    assert pruned == brute
+
+
+def test_tile_rollup_salted_matches_plain(spark):
+    rows = [(i % 3, f"2020-01-01T00:{i:02d}:00", float(i % 7), float(i % 5)) for i in range(50)]
+    pts = rows_to_points(spark, rows)
+    plain = {(r["cell"], r["n_points"], r["n_trajs"]) for r in joins.tile_rollup(pts, res=6).collect()}
+    salted = {(r["cell"], r["n_points"], r["n_trajs"]) for r in joins.tile_rollup(pts, res=6, n_salt=4).collect()}
+    assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# overlay clip (reference test_trajectory.py / test_overlay.py values)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def overlay_traj(spark):
+    # test_overlay.py setup: speed 1 unit/s along the 5-node grid path
+    return rows_to_points(
+        spark,
+        [
+            (1, "1970-01-01T00:00:00", 0, 0),
+            (1, "1970-01-01T00:00:06", 6, 0),
+            (1, "1970-01-01T00:00:10", 10, 0),
+            (1, "1970-01-01T00:00:20", 10, 10),
+            (1, "1970-01-01T00:00:30", 0, 10),
+        ],
+    )
+
+
+def pieces(df):
+    out = {}
+    for r in df.orderBy("traj_id", "t").collect():
+        out.setdefault(r["traj_id"], []).append((r["x"], r["y"], r["t"].second + r["t"].minute * 60))
+    return out
+
+
+def test_clip_one_intersection(spark, overlay_traj):
+    # test_overlay.py:24-35: entry (5,0)@5s exit (7,0)@7s
+    poly = [(5, -5), (7, -5), (7, 8), (5, 8), (5, -5)]
+    got = pieces(overlay.clip(overlay_traj, poly))
+    assert set(got) == {"1_0"}
+    assert got["1_0"] == [(5.0, 0.0, 5), (6.0, 0.0, 6), (7.0, 0.0, 7)]
+
+
+def test_clip_no_node_in_poly(spark, overlay_traj):
+    # test_overlay.py:37-44
+    poly = [(1, -5), (2, -5), (2, 8), (1, 8), (1, -5)]
+    got = pieces(overlay.clip(overlay_traj, poly))
+    assert got["1_0"] == [(1.0, 0.0, 1), (2.0, 0.0, 2)]
+
+
+def test_clip_two_intersections(spark, overlay_traj):
+    # test_overlay.py:55-67: second crossing on the top edge y=10
+    poly = [(5, -5), (7, -5), (7, 12), (5, 12), (5, -5)]
+    got = pieces(overlay.clip(overlay_traj, poly))
+    assert set(got) == {"1_0", "1_1"}
+    assert got["1_0"] == [(5.0, 0.0, 5), (6.0, 0.0, 6), (7.0, 0.0, 7)]
+    assert got["1_1"] == [(7.0, 10.0, 23), (5.0, 10.0, 25)]
+
+
+def test_clip_duplicate_points_not_dropped(spark):
+    # test_overlay.py:69-91
+    df = rows_to_points(
+        spark,
+        [
+            (1, "1970-01-01T00:00:00", 0, 0),
+            (1, "1970-01-01T00:00:06", 6, 0),
+            (1, "1970-01-01T00:00:07", 6, 0),
+            (1, "1970-01-01T00:00:11", 10, 0),
+            (1, "1970-01-01T00:00:20", 10, 10),
+            (1, "1970-01-01T00:00:30", 0, 10),
+        ],
+    )
+    poly = [(5, -5), (7, -5), (7, 5), (5, 5), (5, -5)]
+    got = pieces(overlay.clip(df, poly))
+    assert got["1_0"] == [(5.0, 0.0, 5), (6.0, 0.0, 6), (6.0, 0.0, 7), (7.0, 0.0, 8)]
+
+
+def test_clip_pointbased(spark):
+    # test_overlay.py:93-115
+    df = rows_to_points(
+        spark,
+        [
+            (1, "1970-01-01T00:00:00", 0, 0),
+            (1, "1970-01-01T00:06:00", 6, 0),
+            (1, "1970-01-01T00:06:30", 6.5, 0),
+            (1, "1970-01-01T00:07:00", 7, 0),
+            (1, "1970-01-01T00:10:00", 10, 0),
+        ],
+    )
+    poly = [(5.1, -5), (7.5, -5), (7.5, 12), (5.1, 12), (5.1, -5)]
+    got = pieces(overlay.clip(df, poly, point_based=True))
+    assert set(got) == {"1_0"}
+    assert got["1_0"] == [(6.0, 0.0, 360), (6.5, 0.0, 390), (7.0, 0.0, 420)]
+
+
+def test_clip_pointbased_single_point_empty(spark):
+    df = rows_to_points(
+        spark,
+        [
+            (1, "1970-01-01T00:00:00", 0, 0),
+            (1, "1970-01-01T00:06:00", 6, 0),
+            (1, "1970-01-01T00:07:00", 7, 0),
+        ],
+    )
+    poly = [(5.9, -5), (6.4, -5), (6.4, 12), (5.9, 12), (5.9, -5)]
+    assert overlay.clip(df, poly, point_based=True).count() == 0
+
+
+def test_intersection_adds_feature_props(spark, overlay_traj):
+    poly = [(5, -5), (7, -5), (7, 8), (5, 8), (5, -5)]
+    out = overlay.intersection_with_feature(overlay_traj, poly, {"name": "testzone"})
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["intersecting_name"] == "testzone" for r in rows)
