@@ -1,38 +1,758 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: `movingspark` — a from-scratch PySpark-native trajectory
+analytics + spatial-join engine with the capabilities of MovingPandas
+(reference at /root/reference; see SURVEY.md §2 for the operator map).
+
+Conventions used by every query here:
+- the `events` table doubles as the trajectory point source
+  (FIXTURES.md §5): traj_id=user_id, t=ts, x=value, y=event_id%100 —
+  deterministic in both Spark and the DuckDB oracle;
+- computed doubles are rounded to 5 decimals on BOTH sides so JVM
+  libm vs C libm 1-2 ulp differences cannot break the value hash;
+- every aggregate/computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movingspark import cells, clean, derive, generalize, ingest, joins, queries as q, split, stops
+from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
+
+R = 5  # rounding decimals for float parity with the DuckDB oracle
+
+# polygon used by spatial queries (convex -> oracle is plain comparisons);
+# events points live in x=value∈[0,200], y=event_id%100∈[0,100)
+POLY = [(20.0, 80.0), (120.0, 80.0), (120.0, 20.0), (20.0, 20.0)]
+POLY_SQL = "(x >= 20 AND x <= 120 AND y >= 20 AND y <= 80)"
+CELL_RES = 5
+CELL_BOUNDS = (0.0, 0.0, 256.0, 128.0)
+
+KNN_CENTROIDS = [("c0", 30.0, 20.0), ("c1", 90.0, 50.0), ("c2", 150.0, 80.0), ("c3", 60.0, 90.0)]
+
+N_DOCS = 300  # interleaved synthetic documents for north-rule queries
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.events_as_traj_points(spark, sf_dir)
+
+
+def _round(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), R))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship north-rule pipeline on sf0.001: interleaved docs ->
+    explode text spans to trajectory points -> quadtree cell tiling +
+    point-in-polygon spatial join -> per-cell tile assignment counts,
+    with the span-sequence invariant asserted as part of the plan."""
+    docs = ingest.synth_interleaved_docs(spark, 2000)
+    pts = ingest.explode_doc_points(docs)
+    tiled = joins.with_cell(pts, res=4, name="cell")
+    hits = joins.point_in_polygon_join(
+        pts, [("aoi", [(-60.0, 60.0), (60.0, 60.0), (60.0, -60.0), (-60.0, -60.0)])], res=4
+    )
+    per_cell = tiled.groupBy("cell").agg(
+        F.count("*").alias("n_points"), F.count_distinct("traj_id").alias("n_docs")
+    )
+    in_poly = hits.groupBy().agg(F.count("*").alias("n_join_rows")).select("n_join_rows")
+    return per_cell.crossJoin(in_poly).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_traj_construction(spark, sf_dir):
+    pts = _events(spark, sf_dir)
+    return pts.groupBy("traj_id").agg(
+        F.count("*").alias("n"),
+        F.min("t").alias("start_t"),
+        F.max("t").alias("end_t"),
+    )
+
+
+SQL_TRAJ_CONSTRUCTION = f"""
+SELECT traj_id, COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY traj_id
+"""
+
+
+def q_derive_kinematics(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = derive.add_all_kinematics(pts)
+    # timedelta_s stays unrounded: it is exact µs/1e6 on both sides, and
+    # rounding a decimal tie (x.xxxx85) differs between JVM and DuckDB
+    return _round(
+        out.select(
+            "traj_id", "t", "x", "y",
+            "timedelta_s", "distance", "speed", "direction",
+            "angular_difference", "acceleration",
+        ),
+        ["distance", "speed", "direction", "angular_difference", "acceleration"],
+    )
+
+
+SQL_DERIVE_KINEMATICS = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+base AS (
+  SELECT traj_id, t, x, y,
+         ROW_NUMBER() OVER w AS rn,
+         (epoch_us(t) - LAG(epoch_us(t)) OVER w) / 1000000.0 AS dt,
+         LAG(x) OVER w AS px, LAG(y) OVER w AS py
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+d1 AS (
+  SELECT *,
+    COALESCE(SQRT((x-px)*(x-px) + (y-py)*(y-py)), 0.0) AS dist_raw,
+    CASE WHEN px IS NULL THEN NULL
+         WHEN x = px AND y = py THEN 0.0
+         ELSE CASE WHEN DEGREES(ATAN2(x-px, y-py)) < 0
+                   THEN DEGREES(ATAN2(x-px, y-py)) + 360.0
+                   ELSE DEGREES(ATAN2(x-px, y-py)) END
+    END AS dir_raw
+  FROM base
+),
+d2 AS (
+  SELECT *, SQRT((x-px)*(x-px) + (y-py)*(y-py)) / dt AS speed_raw FROM d1
+),
+d3 AS (
+  SELECT *,
+    CASE WHEN rn = 1 THEN LEAD(speed_raw) OVER w ELSE speed_raw END AS speed,
+    CASE WHEN rn = 1 THEN LEAD(dir_raw) OVER w ELSE dir_raw END AS direction
+  FROM d2 WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+d4 AS (
+  SELECT *,
+    COALESCE(LEAST(ABS(direction - LAG(direction) OVER w),
+                   360.0 - ABS(direction - LAG(direction) OVER w)), 0.0) AS ang_raw,
+    (speed - LAG(speed) OVER w) / dt AS acc_raw,
+    ROW_NUMBER() OVER w AS rn2
+  FROM d3 WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+d5 AS (
+  SELECT *, CASE WHEN rn2 = 1 THEN LEAD(acc_raw) OVER w ELSE acc_raw END AS acc
+  FROM d4 WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT traj_id, t, x, y,
+       dt AS timedelta_s,
+       ROUND(dist_raw, {R}) AS distance,
+       ROUND(speed, {R}) AS speed,
+       ROUND(direction, {R}) AS direction,
+       ROUND(ang_raw, {R}) AS angular_difference,
+       ROUND(acc, {R}) AS acceleration
+FROM d5
+"""
+
+
+def q_traj_summary(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = q.traj_summary(pts)
+    return _round(
+        out.select(
+            "traj_id", "n", "start_t", "end_t", "duration_s",
+            "min_x", "min_y", "max_x", "max_y", "length",
+            "start_x", "start_y", "end_x", "end_y",
+            "sampling_interval_s", "direction",
+        ),
+        ["length", "direction"],  # duration/sampling interval are exact µs
+    )
+
+
+SQL_TRAJ_SUMMARY = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+seg AS (
+  SELECT traj_id, t, x, y,
+         COALESCE(SQRT((x - LAG(x) OVER w)^2 + (y - LAG(y) OVER w)^2), 0.0) AS d,
+         epoch_us(t) - LAG(epoch_us(t)) OVER w AS dt_us
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+agg AS (
+  SELECT traj_id,
+         COUNT(*) AS n,
+         MIN(t) AS start_t, MAX(t) AS end_t,
+         (epoch_us(MAX(t)) - epoch_us(MIN(t))) / 1000000.0 AS duration_s,
+         MIN(x) AS min_x, MIN(y) AS min_y, MAX(x) AS max_x, MAX(y) AS max_y,
+         SUM(d) AS length_raw,
+         MIN_BY(x, t) AS start_x, MIN_BY(y, t) AS start_y,
+         MAX_BY(x, t) AS end_x, MAX_BY(y, t) AS end_y,
+         QUANTILE_CONT(dt_us, 0.5) AS si_us
+  FROM seg GROUP BY traj_id
+)
+SELECT traj_id, n, start_t, end_t,
+       duration_s,
+       min_x, min_y, max_x, max_y,
+       ROUND(length_raw, {R}) AS length,
+       start_x, start_y, end_x, end_y,
+       si_us / 1000000.0 AS sampling_interval_s,
+       ROUND(CASE WHEN DEGREES(ATAN2(end_x - start_x, end_y - start_y)) < 0
+             THEN DEGREES(ATAN2(end_x - start_x, end_y - start_y)) + 360.0
+             ELSE DEGREES(ATAN2(end_x - start_x, end_y - start_y)) END, {R}) AS direction
+FROM agg
+"""
+
+
+def q_locations_at(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return q.get_locations_at(pts, "2024-01-15 00:00:00", method="nearest")
+
+
+SQL_LOCATIONS_AT = f"""
+SELECT traj_id, t, x, y FROM (
+  SELECT traj_id, t, x, y,
+         ROW_NUMBER() OVER (PARTITION BY traj_id
+             ORDER BY ABS(epoch_us(t) - epoch_us(TIMESTAMP '2024-01-15 00:00:00')), t) AS rn
+  FROM (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL}))
+) WHERE rn = 1
+"""
+
+
+def q_interpolate_position_at(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = q.interpolate_position_at(pts, "2024-01-15 00:00:00")
+    return _round(out, ["x", "y"])
+
+
+SQL_INTERPOLATE_POSITION_AT = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+prev AS (
+  SELECT traj_id, t AS t0, x AS x0, y AS y0 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY t DESC) AS rn
+    FROM pts WHERE t <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+),
+nxt AS (
+  SELECT traj_id, t AS tn, x AS xn, y AS yn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY t ASC) AS rn
+    FROM pts WHERE t >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+)
+SELECT COALESCE(prev.traj_id, nxt.traj_id) AS traj_id,
+       TIMESTAMP '2024-01-15 00:00:00' AS t,
+       ROUND(CASE WHEN t0 IS NULL THEN xn WHEN tn IS NULL THEN x0 WHEN tn = t0 THEN x0
+            ELSE x0 + (xn - x0) * (epoch_us(TIMESTAMP '2024-01-15 00:00:00') - epoch_us(t0))
+                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) AS x,
+       ROUND(CASE WHEN t0 IS NULL THEN yn WHEN tn IS NULL THEN y0 WHEN tn = t0 THEN y0
+            ELSE y0 + (yn - y0) * (epoch_us(TIMESTAMP '2024-01-15 00:00:00') - epoch_us(t0))
+                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) AS y
+FROM prev FULL OUTER JOIN nxt ON prev.traj_id = nxt.traj_id
+"""
+
+
+def q_segment_between(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return q.get_segment_between(pts, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+SQL_SEGMENT_BETWEEN = f"""
+SELECT traj_id, t, x, y FROM (
+  SELECT traj_id, t, x, y, COUNT(*) OVER (PARTITION BY traj_id) AS n
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+  WHERE t >= TIMESTAMP '2024-01-10 00:00:00' AND t <= TIMESTAMP '2024-01-20 00:00:00'
+) WHERE n >= 2
+"""
+
+
+def q_filter_by_first_value(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
+    return q.filter_by_first_value(pts, "event_type", ["click", "view"])
+
+
+SQL_FILTER_BY_FIRST_VALUE = f"""
+SELECT traj_id, t, x, y, event_type FROM (
+  SELECT traj_id, t, x, y, event_type,
+         FIRST_VALUE(event_type) OVER (PARTITION BY traj_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+) WHERE fv IN ('click', 'view')
+"""
+
+
+def q_line_export(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return q.to_line_df(pts)
+
+
+SQL_LINE_EXPORT = f"""
+SELECT traj_id, t, prev_t, x0, y0, x1, y1 FROM (
+  SELECT traj_id, t, LAG(t) OVER w AS prev_t,
+         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0, x AS x1, y AS y1
+  FROM ({EVENTS_POINTS_ORACLE_FULL}) WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+) WHERE prev_t IS NOT NULL
+"""
+
+
+def q_split_gap(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = split.split_by_observation_gap(pts, gap_s=3600)
+    return out.groupBy("traj_id", "parent").agg(
+        F.count("*").alias("n"), F.min("t").alias("start_t"), F.max("t").alias("end_t")
+    )
+
+
+SQL_SPLIT_GAP = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+flg AS (
+  SELECT traj_id, t,
+         CASE WHEN (epoch_us(t) - LAG(epoch_us(t)) OVER w) / 1000000.0 > 3600
+              THEN 1 ELSE 0 END AS flag
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+g AS (
+  SELECT traj_id, t,
+         SUM(flag) OVER (PARTITION BY traj_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS piece
+  FROM flg
+)
+SELECT traj_id || '_' || CAST(piece AS VARCHAR) AS traj_id,
+       traj_id AS parent, COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM g GROUP BY traj_id, piece HAVING COUNT(*) >= 2
+"""
+
+
+def q_split_temporal_day(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = split.split_temporally(pts, "day")
+    return out.groupBy("traj_id", "parent").agg(
+        F.count("*").alias("n"), F.min("t").alias("start_t"), F.max("t").alias("end_t")
+    )
+
+
+SQL_SPLIT_TEMPORAL_DAY = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+b AS (
+  SELECT traj_id, t,
+         DENSE_RANK() OVER (PARTITION BY traj_id ORDER BY DATE_TRUNC('day', t)) - 1 AS piece,
+         ROW_NUMBER() OVER (PARTITION BY traj_id, DATE_TRUNC('day', t) ORDER BY t) AS fr
+  FROM pts
+),
+uni AS (
+  SELECT traj_id, t, piece FROM b
+  UNION ALL
+  SELECT traj_id, t, piece - 1 AS piece FROM b WHERE fr = 1 AND piece > 0
+)
+SELECT traj_id || '_' || CAST(piece AS VARCHAR) AS traj_id,
+       traj_id AS parent, COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM uni GROUP BY traj_id, piece HAVING COUNT(*) >= 2
+"""
+
+
+def q_iqr_clean(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return clean.iqr_clean(pts, {"x": 1.0})
+
+
+SQL_IQR_CLEAN = f"""
+SELECT traj_id, t, x, y FROM (
+  SELECT traj_id, t, x, y,
+         QUANTILE_CONT(x, 0.25) OVER (PARTITION BY traj_id) AS q25,
+         QUANTILE_CONT(x, 0.75) OVER (PARTITION BY traj_id) AS q75
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+) WHERE NOT (x > q75 + 1.0 * (q75 - q25) OR x < q25 - 1.0 * (q75 - q25))
+"""
+
+
+def q_min_duration_filter(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return ingest.filter_min_duration(pts, 86400.0 * 20)
+
+
+SQL_MIN_DURATION_FILTER = f"""
+SELECT traj_id, t, x, y FROM (
+  SELECT traj_id, t, x, y,
+         (epoch_us(MAX(t) OVER (PARTITION BY traj_id)) -
+          epoch_us(MIN(t) OVER (PARTITION BY traj_id))) / 1000000.0 AS dur
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+) WHERE dur > {86400.0 * 20}
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+SQL_TILE_ROLLUP = f"""
+SELECT {cells.cell_id_sql('x', 'y', CELL_RES, CELL_BOUNDS)} AS cell,
+       COUNT(*) AS n_points, COUNT(DISTINCT traj_id) AS n_trajs
+FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
+"""
+
+
+def q_tile_rollup_salted(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS, n_salt=8).select(
+        "cell", "n_points", "n_trajs"
+    )
+
+
+def q_point_in_polygon(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.point_in_polygon_join(
+        pts, [("aoi", POLY)], res=CELL_RES, bounds=CELL_BOUNDS
+    ).select("traj_id", "t", "x", "y", "poly_id")
+
+
+SQL_POINT_IN_POLYGON = f"""
+SELECT traj_id, t, x, y, 'aoi' AS poly_id
+FROM ({EVENTS_POINTS_ORACLE_FULL}) WHERE {POLY_SQL}
+"""
+
+
+def q_intersecting_trajs(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.intersecting_traj_ids(pts, POLY, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+SQL_INTERSECTING_TRAJS = f"""
+SELECT DISTINCT traj_id FROM ({EVENTS_POINTS_ORACLE_FULL}) WHERE {POLY_SQL}
+"""
+
+
+def q_knn(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    cents = spark.createDataFrame(KNN_CENTROIDS, "cluster_id string, cx double, cy double")
+    out = joins.knn_join(pts, cents, k=1)
+    return _round(out.select("traj_id", "t", "x", "y", "cluster_id", "dist"), ["dist"])
+
+
+_CENT_VALUES = ", ".join(f"('{c}', {x}, {y})" for c, x, y in KNN_CENTROIDS)
+SQL_KNN = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+cents(cluster_id, cx, cy) AS (VALUES {_CENT_VALUES})
+SELECT traj_id, t, x, y, cluster_id, ROUND(dist, {R}) AS dist FROM (
+  SELECT pts.*, cents.cluster_id,
+         SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
+             ORDER BY SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)), cluster_id) AS rk
+  FROM pts CROSS JOIN cents
+) WHERE rk = 1
+"""
+
+
+# --- north-rule interleaved documents -------------------------------------
+
+
+def q_doc_points(spark, sf_dir):
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    return ingest.explode_doc_points(docs)
+
+
+SQL_DOC_POINTS = f"""
+WITH docs AS ({docs_oracle_sql(N_DOCS)}),
+sp AS (SELECT doc_id, UNNEST(spans) AS span FROM docs)
+SELECT doc_id AS traj_id,
+       span."offset" AS "offset",
+       to_timestamp(CAST(string_split(span.text, ';')[1] AS BIGINT)) AT TIME ZONE 'UTC' AS t,
+       CAST(string_split(span.text, ';')[2] AS DOUBLE) AS x,
+       CAST(string_split(span.text, ';')[3] AS DOUBLE) AS y
+FROM sp WHERE span.kind = 'text'
+"""
+
+
+def q_span_invariant(spark, sf_dir):
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    bad = ingest.span_invariant_violations(docs)
+    return docs.groupBy().agg(F.count("*").alias("n_docs")).crossJoin(
+        bad.groupBy().agg(F.count("*").alias("n_violations"))
+    )
+
+
+SQL_SPAN_INVARIANT = f"""
+WITH docs AS ({docs_oracle_sql(N_DOCS)}),
+rebuilt AS (
+  SELECT doc_id,
+         list_transform(
+             list_sort(list_transform(spans, s -> struct_pack(
+                 "offset" := s."offset", kind := s.kind, text := s.text,
+                 media_ref := s.media_ref))),
+             s -> struct_pack(kind := s.kind, text := s.text,
+                              media_ref := s.media_ref, "offset" := s."offset")
+         ) AS spans_rt
+  FROM (SELECT doc_id, list(span) AS spans FROM
+        (SELECT doc_id, UNNEST(spans) AS span FROM docs) GROUP BY doc_id)
+),
+j AS (
+  SELECT d.doc_id, (to_json(d.spans) != to_json(r.spans_rt)) AS bad
+  FROM docs d JOIN rebuilt r USING (doc_id)
+)
+SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
+       (SELECT COUNT(*) FROM j WHERE bad) AS n_violations
+"""
+
+
+def q_doc_tiling(spark, sf_dir):
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    pts = ingest.explode_doc_points(docs)
+    tiled = joins.with_cell(pts, res=3, name="cell")
+    return tiled.groupBy("cell").agg(
+        F.count("*").alias("n_points"), F.count_distinct("traj_id").alias("n_docs")
+    )
+
+
+SQL_DOC_TILING = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT {cells.cell_id_sql('x', 'y', 3)} AS cell,
+       COUNT(*) AS n_points, COUNT(DISTINCT traj_id) AS n_docs
+FROM pts GROUP BY 1
+"""
+
+
+def q_doc_spatial_join(spark, sf_dir):
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    pts = ingest.explode_doc_points(docs)
+    aoi = [(-60.0, 60.0), (60.0, 60.0), (60.0, -60.0), (-60.0, -60.0)]
+    hits = joins.point_in_polygon_join(pts, [("aoi", aoi)], res=4)
+    return hits.select("traj_id", "offset", "x", "y", "poly_id")
+
+
+SQL_DOC_SPATIAL_JOIN = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT traj_id, "offset", x, y, 'aoi' AS poly_id FROM pts
+WHERE x >= -60 AND x <= 60 AND y >= -60 AND y <= 60
+"""
+
+
+# --- documents table: dedup / text analysis --------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.col("text"))
+    return (
+        docs.withColumn("text_hash", h)
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-style near-dup candidates: 3-gram word shingles hashed with
+    md5, per-doc signature = lexicographic min over shingles for 4 salted
+    hash families, banded into one bucket key; docs sharing a bucket are
+    candidate pairs. (Shingle->minhash->band->bucket-join.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.col("text")), "\\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    d = docs.withColumn("sh", sh)
+    for salt in range(4):
+        d = d.withColumn(
+            f"mh{salt}",
+            F.array_min(F.transform("sh", lambda s: F.md5(F.concat(F.lit(str(salt)), s)))),
+        )
+    band = F.md5(F.concat_ws("|", "mh0", "mh1", "mh2", "mh3"))
+    return (
+        d.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_MINHASH = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(0, GREATEST(len(words) - 3, 0) + 1),
+             i -> array_to_string(words[i+1: i+3], ' ')) AS shingles
+  FROM w
+),
+mh AS (
+  SELECT doc_id,
+         list_min(list_transform(shingles, s -> md5('0' || s))) AS mh0,
+         list_min(list_transform(shingles, s -> md5('1' || s))) AS mh1,
+         list_min(list_transform(shingles, s -> md5('2' || s))) AS mh2,
+         list_min(list_transform(shingles, s -> md5('3' || s))) AS mh3
+  FROM sh
+)
+SELECT md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS band,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM mh GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Language-agnostic quality scoring: token count, char stats,
+    punctuation ratio, fingerprint (normalized md5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        F.round(n_punct / n_chars, R).alias("punct_ratio"),
+        fp.alias("fingerprint"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text), {R}) AS punct_ratio,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_stats(spark, sf_dir):
+    """Per-language corpus stats (groupBy over the lang-id column +
+    quality aggregates) — the aggregation side of language-ID."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return (
+        docs.withColumn("n_tokens", toks)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), R).alias("avg_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+SQL_LANG_STATS = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), {R}) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) neighbors for the first 3 vectors.
+    Similarity rounded before ranking so ordering is reproducible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    na = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, z: acc + z * z))
+    nb = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, z: acc + z * z))
+    sim = F.round(dot / (na * nb), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "sim", "rk")
+    )
+
+
+SQL_ANN_COSINE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+pairs AS (
+  SELECT query_id, vec_id,
+         ROUND(list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(v, a -> a * a)))
+                  * SQRT(list_sum(list_transform(qv, a -> a * a)))), 4) AS sim
+  FROM emb CROSS JOIN qs WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "traj_construction": q_traj_construction,
+        "derive_kinematics": q_derive_kinematics,
+        "traj_summary": q_traj_summary,
+        "locations_at": q_locations_at,
+        "interpolate_position_at": q_interpolate_position_at,
+        "segment_between": q_segment_between,
+        "filter_by_first_value": q_filter_by_first_value,
+        "line_export": q_line_export,
+        "split_gap": q_split_gap,
+        "split_temporal_day": q_split_temporal_day,
+        "iqr_clean": q_iqr_clean,
+        "min_duration_filter": q_min_duration_filter,
+        "tile_rollup": q_tile_rollup,
+        "tile_rollup_salted": q_tile_rollup_salted,
+        "point_in_polygon": q_point_in_polygon,
+        "intersecting_trajs": q_intersecting_trajs,
+        "knn": q_knn,
+        "doc_points": q_doc_points,
+        "span_invariant": q_span_invariant,
+        "doc_tiling": q_doc_tiling,
+        "doc_spatial_join": q_doc_spatial_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "text_stats": q_text_stats,
+        "lang_stats": q_lang_stats,
+        "ann_cosine": q_ann_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "traj_construction": SQL_TRAJ_CONSTRUCTION,
+        "derive_kinematics": SQL_DERIVE_KINEMATICS,
+        "traj_summary": SQL_TRAJ_SUMMARY,
+        "locations_at": SQL_LOCATIONS_AT,
+        "interpolate_position_at": SQL_INTERPOLATE_POSITION_AT,
+        "segment_between": SQL_SEGMENT_BETWEEN,
+        "filter_by_first_value": SQL_FILTER_BY_FIRST_VALUE,
+        "line_export": SQL_LINE_EXPORT,
+        "split_gap": SQL_SPLIT_GAP,
+        "split_temporal_day": SQL_SPLIT_TEMPORAL_DAY,
+        "iqr_clean": SQL_IQR_CLEAN,
+        "min_duration_filter": SQL_MIN_DURATION_FILTER,
+        "tile_rollup": SQL_TILE_ROLLUP,
+        "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
+        "point_in_polygon": SQL_POINT_IN_POLYGON,
+        "intersecting_trajs": SQL_INTERSECTING_TRAJS,
+        "knn": SQL_KNN,
+        "doc_points": SQL_DOC_POINTS,
+        "span_invariant": SQL_SPAN_INVARIANT,
+        "doc_tiling": SQL_DOC_TILING,
+        "doc_spatial_join": SQL_DOC_SPATIAL_JOIN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": SQL_DEDUP_MINHASH,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_stats": SQL_LANG_STATS,
+        "ann_cosine": SQL_ANN_COSINE,
+        # stateful/sequential ops (stop detector, angle splitter,
+        # generalizers, outlier cleaner, overlay clip) are exercised by
+        # tests/ with reference-pinned values; no SQL oracle is possible.
+    }

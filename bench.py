@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Every query is forced with the noop datasource writer so the full plan
+(including window/UDF columns a count() would prune) actually executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("movingspark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+N_BENCH_DOCS = 200_000  # north-rule interleaved docs synthesized for the bench
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from movingspark import derive, ingest, joins, queries as q, split, stops
+
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    pts = ingest.events_as_traj_points(spark, sf_dir).select("traj_id", "t", "x", "y")
+    pts = pts.persist()
+    pts.count()
+
+    run("derive_kinematics", lambda: force(derive.add_all_kinematics(pts)))
+    run("traj_summary", lambda: force(q.traj_summary(pts)))
+    run("split_gap", lambda: force(split.split_by_observation_gap(pts, 3600)))
+    run("stop_detector", lambda: force(stops.get_stop_time_ranges(pts, max_diameter=50, min_duration_s=7200)))
+    run("tile_rollup", lambda: force(joins.tile_rollup(pts, res=5, bounds=(0.0, 0.0, 256.0, 128.0))))
+    run(
+        "point_in_polygon",
+        lambda: force(
+            joins.point_in_polygon_join(
+                pts,
+                [("aoi", [(20.0, 80.0), (120.0, 80.0), (120.0, 20.0), (20.0, 20.0)])],
+                res=5,
+                bounds=(0.0, 0.0, 256.0, 128.0),
+            )
+        ),
+    )
+
+    # north-rule doc pipeline: synth -> explode -> spatial join + tiling
+    docs = ingest.synth_interleaved_docs(spark, N_BENCH_DOCS).persist()
+    n_docs = docs.count()
+    aoi = [(-60.0, 60.0), (60.0, 60.0), (60.0, -60.0), (-60.0, -60.0)]
+
+    def doc_pipeline():
+        dpts = ingest.explode_doc_points(docs)
+        force(joins.point_in_polygon_join(dpts, [("aoi", aoi)], res=6))
+        force(joins.tile_rollup(dpts, res=6))
+
+    t0 = time.time()
+    doc_pipeline()
+    dt = time.time() - t0
+    timings["doc_spatial_join_tiling"] = round(dt, 3)
+    timings["_docs_per_sec"] = round(n_docs / dt, 1)
+
+    run("span_invariant", lambda: force(ingest.span_invariant_violations(docs)))
+    docs.unpersist()
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import __spark_entry__ as E
+
+    run("dedup_minhash", lambda: force(E.q_dedup_minhash(spark, sf_dir)))
+    run("text_stats", lambda: force(E.q_text_stats(spark, sf_dir)))
+    run("ann_cosine", lambda: force(E.q_ann_cosine(spark, sf_dir)))
+
+    pts.unpersist()
+    return timings
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings = bench_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    docs_per_sec = timings.pop("_docs_per_sec", None)
+    out = {
+        "metric": "movingspark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec_spatial_join_tiling": docs_per_sec,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

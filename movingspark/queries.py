@@ -33,8 +33,10 @@ def traj_summary(df: DataFrame, latlon: bool = False, units=None, cols: PointCol
     conv = get_conversion(units)
     w = traj_window(cols)
     t_us = F.unix_micros(F.col(cols.t))
+    # Δt kept in integer microseconds so the median interpolates exactly
+    # (ties at .5 µs stay exact in float64 — oracle-reproducible)
     enriched = df.withColumn("__seg", _seg_dist(latlon, cols)).withColumn(
-        "__dt", (t_us - F.lag(t_us).over(w)) / 1e6
+        "__dt_us", t_us - F.lag(t_us).over(w)
     )
     start = F.min_by(F.struct(cols.x, cols.y), cols.t)
     end = F.max_by(F.struct(cols.x, cols.y), cols.t)
@@ -52,7 +54,7 @@ def traj_summary(df: DataFrame, latlon: bool = False, units=None, cols: PointCol
         start.getField(cols.y).alias("start_y"),
         end.getField(cols.x).alias("end_x"),
         end.getField(cols.y).alias("end_y"),
-        F.percentile("__dt", F.lit(0.5)).alias("sampling_interval_s"),
+        (F.percentile("__dt_us", F.lit(0.5)) / 1e6).alias("sampling_interval_s"),
     )
     direction = bearing_expr(F.col("start_x"), F.col("start_y"), F.col("end_x"), F.col("end_y"), latlon)
     return agg.withColumn("direction", direction)

@@ -96,13 +96,14 @@ def get_stop_time_ranges(
             latlon,
         )
         tid = pdf[cols.traj_id].iloc[0]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "traj_id": [tid] * len(stops),
-                "start_t": [pd.Timestamp(s * 1e9) for s, _ in stops],
-                "end_t": [pd.Timestamp(e * 1e9) for _, e in stops],
+                "traj_id": pd.Series([tid] * len(stops), dtype=str),
+                "start_t": pd.Series([pd.Timestamp(round(s * 1e6) * 1000) for s, _ in stops], dtype="datetime64[ns]"),
+                "end_t": pd.Series([pd.Timestamp(round(e * 1e6) * 1000) for _, e in stops], dtype="datetime64[ns]"),
             }
         )
+        return out
 
     return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=RANGE_SCHEMA)
 

@@ -1,0 +1,99 @@
+"""Aggregator parity with reference test_trajectory_aggregator.py."""
+
+import pytest
+
+from movingspark import aggregate
+from tests.conftest import rows_to_points
+
+
+def test_sig_points_sparse(spark):
+    # test_trajectory_aggregator.py:33-48
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2018-01-01T12:00:00", 0, 0),
+            (1, "2018-01-01T12:06:00", 6, 0),
+            (1, "2018-01-01T14:09:00", 6, 6),
+        ],
+    )
+    sig = aggregate.extract_significant_points(df, 5, 0, 12 * 3600)
+    got = {(r["x"], r["y"]) for r in sig.collect()}
+    assert got == {(0, 0), (6, 0), (6, 6)}
+
+
+def test_sig_points_dense(spark):
+    # test_trajectory_aggregator.py:50-70
+    rows = [(1, f"2018-01-01T12:{i:02d}:00", i, 0) for i in range(7)]
+    rows.append((1, "2018-01-01T14:09:00", 6, 6))
+    df = rows_to_points(spark, rows)
+    sig = aggregate.extract_significant_points(df, 4, 0, 12 * 3600)
+    got = {(r["x"], r["y"]) for r in sig.collect()}
+    assert got == {(0, 0), (4, 0), (6, 0), (6, 6)}
+
+
+def test_sig_points_stops(spark):
+    # test_trajectory_aggregator.py:72-118 (no_stops vs stops)
+    rows = [
+        (1, "2018-01-01T10:00:00", 0, 0),
+        (1, "2018-01-01T10:01:00", 1, 0),
+        (1, "2018-01-01T10:02:00", 2, 0),
+        (1, "2018-01-01T12:03:00", 3, 0),
+        (1, "2018-01-01T12:04:00", 4, 0),
+        (1, "2018-01-01T12:05:00", 5, 0),
+        (1, "2018-01-01T14:06:00", 6, 0),
+        (1, "2018-01-01T14:07:00", 7, 0),
+    ]
+    df = rows_to_points(spark, rows)
+    no_stops = aggregate.extract_significant_points(df, 10, 2, 10 * 3600)
+    got = {(r["x"], r["y"]) for r in no_stops.collect()}
+    assert got == {(0, 0), (7, 0)}
+    stops = aggregate.extract_significant_points(df, 10, 2, 1 * 3600)
+    got = {(r["x"], r["y"]) for r in stops.collect()}
+    assert got == {(0, 0), (2, 0), (5, 0), (7, 0)}
+
+
+@pytest.fixture(scope="module")
+def l_pair(spark):
+    # test_trajectory_aggregator.py:122-133
+    return rows_to_points(
+        spark,
+        [
+            (1, "2018-01-01T12:00:00", 0, 0, "A"),
+            (1, "2018-01-01T12:06:00", 6, 0, "A"),
+            (1, "2018-01-01T14:10:00", 6, 6, "A"),
+            (2, "2019-01-01T12:00:00", 0.2, 0.2, "B"),
+            (2, "2019-01-01T12:06:00", 6.2, 0.2, "B"),
+            (2, "2019-01-01T14:10:00", 6.2, 6.2, "B"),
+        ],
+        extra_cols=("obj_id",),
+    )
+
+
+def test_aggregator_clusters_and_flows(spark, l_pair):
+    sig, cents, flows = aggregate.aggregate_flows(
+        l_pair, max_distance=5, min_distance=0, min_stop_duration_s=12 * 3600
+    )
+    got_sig = {(r["x"], r["y"]) for r in sig.collect()}
+    assert got_sig == {(0, 0), (6, 0), (6, 6), (0.2, 0.2), (6.2, 0.2), (6.2, 6.2)}
+
+    got_cents = {(round(r["cx"], 6), round(r["cy"], 6), r["n"]) for r in cents.collect()}
+    assert got_cents == {(0.1, 0.1, 2), (6.1, 0.1, 2), (6.1, 6.1, 2)}
+
+    got_flows = {
+        (round(r["from_x"], 6), round(r["from_y"], 6), round(r["to_x"], 6), round(r["to_y"], 6), r["weight"], r["obj_weight"])
+        for r in flows.collect()
+    }
+    assert got_flows == {
+        (0.1, 0.1, 6.1, 0.1, 2, 2),
+        (6.1, 0.1, 6.1, 6.1, 2, 2),
+    }
+
+
+def test_grid_cluster_degenerate_lines():
+    # test_point_clusterer.py: horizontal/vertical inputs fall back to 1 grid row/col
+    pts = [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]
+    out = aggregate.grid_cluster(pts, 10)
+    assert len(out) == 1 and out[0][2] == 3
+    pts = [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0)]
+    out = aggregate.grid_cluster(pts, 10)
+    assert len(out) == 1 and out[0][2] == 3
