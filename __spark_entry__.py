@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from movingspark import cells, clean, derive, generalize, ingest, joins, queries as q, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
+from movingspark.text import lower_ascii as _lower_ascii
 
 R = 5  # rounding decimals for float parity with the DuckDB oracle
 
@@ -549,7 +550,7 @@ def q_dedup_minhash(spark, sf_dir):
     hash families, banded into one bucket key; docs sharing a bucket are
     candidate pairs. (Shingle->minhash->band->bucket-join.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.lower(F.col("text")), "\\s+")
+    words = F.split(_lower_ascii(F.col("text")), "\\s+")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
@@ -571,7 +572,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 SQL_DEDUP_MINHASH = """
 WITH w AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents
+  SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS words FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -600,7 +601,7 @@ def q_text_stats(spark, sf_dir):
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
     n_chars = F.length("text")
     n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    fp = F.md5(_lower_ascii(F.regexp_replace(F.col("text"), "\\s+", " ")))
     return docs.select(
         "doc_id",
         "lang",
@@ -617,7 +618,7 @@ SELECT doc_id, lang,
        length(text) AS n_chars_actual,
        ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
              / length(text), {R}) AS punct_ratio,
-       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+       md5(translate(regexp_replace(text, '\\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
 FROM documents
 """
 
@@ -690,6 +691,277 @@ SELECT query_id, vec_id, sim, rk FROM (
 """
 
 
+def q_split_value_change(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
+    out = split.split_by_value_change(pts, "event_type")
+    return out.groupBy("traj_id", "parent").agg(
+        F.count("*").alias("n"), F.min("t").alias("start_t"), F.max("t").alias("end_t")
+    )
+
+
+SQL_SPLIT_VALUE_CHANGE = f"""
+WITH pts AS (SELECT traj_id, t, event_type FROM ({EVENTS_POINTS_ORACLE_FULL})),
+flg AS (
+  SELECT traj_id, t,
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 0
+              WHEN event_type IS NULL OR LAG(event_type) OVER w IS NULL THEN 1
+              ELSE CAST(event_type != LAG(event_type) OVER w AS INT) END AS flag
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+g AS (
+  SELECT traj_id, t,
+         SUM(flag) OVER (PARTITION BY traj_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS piece
+  FROM flg
+),
+firsts AS (
+  SELECT traj_id, t, piece,
+         ROW_NUMBER() OVER (PARTITION BY traj_id, piece ORDER BY t) AS fr
+  FROM g
+),
+uni AS (
+  SELECT traj_id, t, piece FROM g
+  UNION ALL
+  SELECT traj_id, t, piece - 1 FROM firsts WHERE fr = 1 AND piece > 0
+)
+SELECT traj_id || '_' || CAST(piece AS VARCHAR) AS traj_id, traj_id AS parent,
+       COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM uni GROUP BY traj_id, piece HAVING COUNT(*) >= 2
+"""
+
+
+def q_split_speed(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = split.split_by_speed(pts, speed=0.001, duration_s=3600)
+    return out.groupBy("traj_id", "parent").agg(
+        F.count("*").alias("n"), F.min("t").alias("start_t"), F.max("t").alias("end_t")
+    )
+
+
+SQL_SPLIT_SPEED = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+sp0 AS (
+  SELECT traj_id, t, x, y, ROW_NUMBER() OVER w AS rn,
+         SQRT((x - LAG(x) OVER w)^2 + (y - LAG(y) OVER w)^2)
+             / ((epoch_us(t) - LAG(epoch_us(t)) OVER w) / 1000000.0) AS speed_raw
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+sp AS (
+  SELECT traj_id, t,
+         CASE WHEN rn = 1 THEN LEAD(speed_raw) OVER (PARTITION BY traj_id ORDER BY t)
+              ELSE speed_raw END AS speed
+  FROM sp0
+),
+kept AS (SELECT traj_id, t FROM sp WHERE speed >= 0.001),
+flg AS (
+  SELECT traj_id, t,
+         CASE WHEN (epoch_us(t) - LAG(epoch_us(t))
+              OVER (PARTITION BY traj_id ORDER BY t)) / 1000000.0 > 3600
+              THEN 1 ELSE 0 END AS flag
+  FROM kept
+),
+g AS (
+  SELECT traj_id, t,
+         SUM(flag) OVER (PARTITION BY traj_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS piece
+  FROM flg
+)
+SELECT traj_id || '_' || CAST(piece AS VARCHAR) AS traj_id, traj_id AS parent,
+       COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM g GROUP BY traj_id, piece HAVING COUNT(*) >= 2
+"""
+
+
+def q_min_length_filter(spark, sf_dir):
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return ingest.filter_min_length(pts, 5000.0)
+
+
+SQL_MIN_LENGTH_FILTER = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+seg AS (
+  SELECT traj_id, t, x, y,
+         COALESCE(SQRT((x - LAG(x) OVER w)^2 + (y - LAG(y) OVER w)^2), 0.0) AS d
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT traj_id, t, x, y FROM (
+  SELECT traj_id, t, x, y, SUM(d) OVER (PARTITION BY traj_id) AS len FROM seg
+) WHERE len > 5000.0
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from movingspark.text import lang_id_expr, quality_score_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        lang_id_expr(F.col("text")).alias("pred_lang"),
+        F.round(quality_score_expr(F.col("text")), R).alias("quality"),
+    )
+
+
+from movingspark.text import LANG_MARKERS as _LM  # noqa: E402
+
+_hits = {
+    lang: (
+        "len(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')[1:64], "
+        f"""t -> t IN ({', '.join(f"'{m}'" for m in ms)})))"""
+    )
+    for lang, ms in _LM.items()
+}
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         {_hits['en']} AS en, {_hits['de']} AS de,
+         {_hits['fr']} AS fr, {_hits['es']} AS es,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang,
+       ROUND((
+         (CASE WHEN n_toks >= 5 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_chars AS DOUBLE) / GREATEST(n_toks, 1) >= 3
+                  AND CAST(n_chars AS DOUBLE) / GREATEST(n_toks, 1) <= 12 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                      / n_chars <= 0.2 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, {R}) AS quality
+FROM h
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from movingspark.text import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, GREATEST(len(words) - 3, 0) + 1),
+             i -> md5(array_to_string(words[i+1: i+3], ' ')))) AS shingles
+  FROM w
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 5) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+
+def q_traj_export(spark, sf_dir):
+    """to_traj_gdf analogue (trajectory.py:661-713) with deterministic
+    'mode' (most frequent value, ties -> smallest) and q90 quantile."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
+    counts = pts.groupBy("traj_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("traj_id").orderBy(F.col("c").desc(), F.col("event_type").asc())
+    modes = counts.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1).select(
+        "traj_id", F.col("event_type").alias("mode_event_type")
+    )
+    # mean via exact integer-cents sum: float sum order differs between
+    # Spark partial aggregation and DuckDB, flipping 5-dp rounding ties
+    x_cents = F.round(F.col("x") * 100).cast("long")
+    agg = pts.withColumn("__xc", x_cents).groupBy("traj_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("x", F.lit(0.9)), R).alias("x_q90"),
+        F.round(F.sum("__xc") / 100.0 / F.count("*"), R).alias("x_mean"),
+    )
+    return agg.join(modes, "traj_id")
+
+
+SQL_TRAJ_EXPORT = f"""
+WITH pts AS (SELECT traj_id, x, event_type FROM ({EVENTS_POINTS_ORACLE_FULL})),
+modes AS (
+  SELECT traj_id, event_type AS mode_event_type FROM (
+    SELECT traj_id, event_type, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY COUNT(*) DESC, event_type ASC) AS r
+    FROM pts GROUP BY traj_id, event_type
+  ) WHERE r = 1
+)
+SELECT p.traj_id, COUNT(*) AS n,
+       ROUND(QUANTILE_CONT(x, 0.9), {R}) AS x_q90,
+       ROUND(SUM(CAST(ROUND(x * 100) AS BIGINT)) / 100.0 / COUNT(*), {R}) AS x_mean,
+       ANY_VALUE(m.mode_event_type) AS mode_event_type
+FROM pts p JOIN modes m ON p.traj_id = m.traj_id
+GROUP BY p.traj_id
+"""
+
+
+def q_mcp(spark, sf_dir):
+    """A9 convex hull per trajectory (numpy kernel; rows-only check)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return q.get_mcp(pts)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed embedding cosine near-dup pairs (rows-only check;
+    the LSH projection matmul is an Arrow UDF, not SQL-expressible).
+    The corpus is augmented with scaled copies of the first 10 vectors
+    (ids +1M) so the query demonstrably finds the planted near-dups."""
+    from movingspark.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.01).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(planted), threshold=0.999)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media refs -> deterministic payloads ->
+    mapInPandas feature extraction (rows-only check)."""
+    from movingspark import media
+
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    refs = media.media_refs_from_docs(docs)
+    feats = media.extract_media_features(media.synth_media_bytes(refs), dim=8)
+    return feats.select("doc_id", "offset", "media_ref", "n_bytes", "content_hash")
+
+
+SQL_MEDIA_REFS = f"""
+WITH docs AS ({docs_oracle_sql(N_DOCS)}),
+sp AS (SELECT doc_id, UNNEST(spans) AS span FROM docs)
+SELECT doc_id, span."offset" AS "offset", span.media_ref
+FROM sp WHERE span.kind = 'media'
+"""
+
+
+def q_stop_points(spark, sf_dir):
+    """X1/A11 stop detection on events trajectories (sequential kernel;
+    rows-only check — pinned-value parity lives in tests/test_stops.py)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return stops.get_stop_points(pts, max_diameter=50.0, min_duration_s=7200.0)
+
+
+def q_generalize_dp(spark, sf_dir):
+    """X11 Douglas-Peucker (sequential kernel; rows-only check —
+    pinned-value parity lives in tests/test_generalize_clean.py)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return generalize.douglas_peucker(pts, tolerance=10.0)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -721,6 +993,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
+        "split_value_change": q_split_value_change,
+        "split_speed": q_split_speed,
+        "min_length_filter": q_min_length_filter,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "traj_export": q_traj_export,
+        "mcp": q_mcp,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
+        "stop_points": q_stop_points,
+        "generalize_dp": q_generalize_dp,
     }
 
 
@@ -752,7 +1035,13 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
-        # stateful/sequential ops (stop detector, angle splitter,
-        # generalizers, outlier cleaner, overlay clip) are exercised by
-        # tests/ with reference-pinned values; no SQL oracle is possible.
+        "split_value_change": SQL_SPLIT_VALUE_CHANGE,
+        "split_speed": SQL_SPLIT_SPEED,
+        "min_length_filter": SQL_MIN_LENGTH_FILTER,
+        "lang_id": SQL_LANG_ID,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "traj_export": SQL_TRAJ_EXPORT,
+        # mcp / embedding_near_dups / media_features / stop_points /
+        # generalize_dp: sequential or Arrow-UDF ops with no SQL oracle —
+        # driver records rows-only; pinned-value parity lives in tests/.
     }

@@ -39,7 +39,7 @@ def build_spark(cpus: int) -> SparkSession:
     )
 
 
-N_BENCH_DOCS = 200_000  # north-rule interleaved docs synthesized for the bench
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
 
 def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -57,6 +57,11 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     pts = ingest.events_as_traj_points(spark, sf_dir).select("traj_id", "t", "x", "y")
     pts = pts.persist()
     pts.count()
+
+    # untimed warmup: absorb JIT/codegen/Arrow-worker startup so query
+    # timings measure steady-state throughput, not JVM warmup
+    force(derive.add_all_kinematics(pts.limit(512)))
+    force(joins.tile_rollup(pts.limit(512), res=5, bounds=(0.0, 0.0, 256.0, 128.0)))
 
     run("derive_kinematics", lambda: force(derive.add_all_kinematics(pts)))
     run("traj_summary", lambda: force(q.traj_summary(pts)))

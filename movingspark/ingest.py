@@ -193,10 +193,12 @@ def explode_doc_points(docs: DataFrame) -> DataFrame:
     """Explode text spans into trajectory points: traj_id=doc_id,
     t from the unix payload, x=lon, y=lat, keeping (offset) for
     reassembly. Media spans pass through untouched (opaque binary refs)."""
-    sp = docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    # prune media spans inside the array expression BEFORE exploding —
+    # halves the exploded row count (media rows never materialize)
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    sp = docs.select("doc_id", F.explode(text_spans).alias("span"))
     pts = (
-        sp.filter(F.col("span.kind") == "text")
-        .select(
+        sp.select(
             F.col("doc_id").alias("traj_id"),
             F.col("span.offset").alias("offset"),
             F.split(F.col("span.text"), ";").alias("__p"),
@@ -244,11 +246,14 @@ def reassemble_docs(docs: DataFrame) -> DataFrame:
 def span_invariant_violations(docs: DataFrame) -> DataFrame:
     """Rows = docs whose explode->reassemble round trip does NOT preserve
     the exact span sequence (kind, text, media_ref, order). Empty result
-    == invariant holds."""
-    rebuilt = reassemble_docs(docs).withColumnRenamed("spans", "spans_rt")
-    joined = docs.join(rebuilt, "doc_id", "full_outer")
+    == invariant holds. Both sides reduce to an md5 of the canonical
+    JSON before the join, so the shuffle exchanges 32-char digests
+    rather than full span arrays."""
+    orig = docs.select("doc_id", F.md5(F.to_json("spans")).alias("h"))
+    rebuilt = reassemble_docs(docs).select(
+        "doc_id", F.md5(F.to_json("spans")).alias("h_rt")
+    )
+    joined = orig.join(rebuilt, "doc_id", "full_outer")
     return joined.filter(
-        F.col("spans").isNull()
-        | F.col("spans_rt").isNull()
-        | (F.to_json(F.col("spans")) != F.to_json(F.col("spans_rt")))
+        F.col("h").isNull() | F.col("h_rt").isNull() | (F.col("h") != F.col("h_rt"))
     ).select("doc_id")

@@ -85,10 +85,16 @@ def point_in_polygon_join(
             )
         return pd.Series(out)
 
-    ok = F.when(F.col("full"), F.lit(True)).otherwise(
-        refine(F.col(cols.x), F.col(cols.y), F.col("poly_id"))
+    # interior cells never touch Python: only boundary-cell rows pay the
+    # Arrow round-trip (when() would still evaluate the UDF on all rows)
+    interior = joined.filter(F.col("full")).drop("full", "__cell")
+    boundary = (
+        joined.filter(~F.col("full"))
+        .withColumn("__ok", refine(F.col(cols.x), F.col(cols.y), F.col("poly_id")))
+        .filter(F.col("__ok"))
+        .drop("__ok", "full", "__cell")
     )
-    return joined.withColumn("__ok", ok).filter(F.col("__ok")).drop("__ok", "full", "__cell")
+    return interior.unionByName(boundary)
 
 
 def intersecting_traj_ids(df: DataFrame, polygon, res: int = 8, bounds=cells.WORLD, cols: PointCols = TRAJ_COLS) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is pure Spark SQL expressions (JVM, codegen) so the
+same computation can be mirrored 1:1 in the DuckDB oracle. Each
+function returns Column expressions usable in any select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def lower_ascii(col: Column) -> Column:
+    """ASCII lowercase via translate — byte-level, collation-free.
+
+    Spark 4's collation-aware `lower()` pays a multi-minute one-time ICU
+    CollationAwareUTF8String class-init in this JVM, and ICU case
+    mapping can disagree with DuckDB's lower() on non-ASCII anyway;
+    translate() is deterministic and identical in both engines."""
+    return F.translate(col, _UPPER, _LOWER)
+
+
+# the same normalization for DuckDB oracle SQL
+LOWER_ASCII_SQL = "translate({}, '" + _UPPER + "', '" + _LOWER + "')"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# language-ID heuristic. Deliberately small + ASCII so the oracle SQL
+# stays identical.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "de"],
+}
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization (count basis for quality scoring)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct chunks — the
+    standard regex pre-tokenizer shape (\\w+ runs and single non-space
+    non-word marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, "[.,;:!?]", ""))
+    return p / n
+
+
+def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens_expr(lower_ascii(text)), lambda t: t)
+    hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker stopwords occur
+    most often among the first 64 tokens; 'und' (undetermined) if none."""
+    toks = F.slice(tokens_expr(lower_ascii(text)), 1, 64)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        n = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        improved = n > best_n
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(improved, n).otherwise(best_n)
+    return best_lang
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + low punct noise +
+    healthy mean word length. Pure arithmetic; thresholds are the usual
+    C4-style heuristics."""
+    n_toks = token_count_expr(text)
+    n_chars = F.length(text)
+    mean_word = n_chars / F.greatest(n_toks, F.lit(1))
+    len_ok = F.when((n_toks >= 5) & (n_toks <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio_expr(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + word_ok + punct_ok) / 3.0
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key."""
+    return F.md5(lower_ascii(F.regexp_replace(text, "\\s+", " ")))
+
+
+def simhash_expr(text: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens: per token take md5-derived bit
+    projections; the document hash is the sign-aggregated bit vector.
+    Implemented with only built-in expressions: for each bit b, count
+    tokens whose md5 hex nibble pattern sets bit b; bit is 1 when the
+    count exceeds half the token count."""
+    toks = tokens_expr(lower_ascii(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # token votes for bit b: md5 hex char at position b, high nibble bit
+        votes = F.size(
+            F.filter(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), b + 1, 1), 16, 10).cast("int") >= 8,
+            )
+        )
+        out = out + F.when(votes * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode shingles -> self-join on shingle -> count common shingles per
+    pair -> Jaccard = common / (|A| + |B| - common). Shuffles on shingle
+    hash — pair candidates only materialize for docs sharing shingles."""
+    words = F.split(lower_ascii(F.col(text_col)), "\\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    base = df.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
+    sizes = base.select("doc", F.size("sh").alias("n_sh"))
+    ex = base.select("doc", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))

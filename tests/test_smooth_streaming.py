@@ -1,0 +1,72 @@
+"""Kalman smoother (X15) + streaming extensions."""
+
+import numpy as np
+
+from movingspark import smooth, streaming
+from tests.conftest import rows_to_points
+
+
+def test_kalman_smoother_reduces_noise(spark):
+    rng = np.random.RandomState(3)
+    true_x = np.arange(50) * 2.0
+    noisy = true_x + rng.randn(50) * 3.0
+    rows = [(1, f"2020-01-01T00:{i//60:02d}:{i%60:02d}", float(noisy[i]), 0.0) for i in range(50)]
+    df = rows_to_points(spark, rows)
+    out = smooth.kalman_smooth(df, process_noise_std=0.5, measurement_noise_std=3.0)
+    got = np.array([r["x"] for r in out.orderBy("t").collect()])
+    raw_err = np.abs(noisy - true_x).mean()
+    smooth_err = np.abs(got - true_x).mean()
+    assert smooth_err < raw_err * 0.7  # meaningfully denoised
+    assert out.count() == 50
+
+
+def test_kalman_smoother_latlon_roundtrip(spark):
+    rows = [(1, f"2020-01-01T00:00:{i:02d}", 10.0 + i * 0.001, 50.0) for i in range(10)]
+    df = rows_to_points(spark, rows)
+    out = smooth.kalman_smooth(df, latlon=True).orderBy("t").collect()
+    # smooth straight line stays close to itself
+    for i, r in enumerate(out):
+        assert abs(r["x"] - (10.0 + i * 0.001)) < 0.001
+        assert abs(r["y"] - 50.0) < 0.001
+
+
+def test_gap_sessions_batch(spark):
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 0, 0),
+            (1, "2020-01-01T00:10:00", 1, 0),
+            (1, "2020-01-01T05:00:00", 2, 0),  # > 1h gap -> new session
+            (2, "2020-01-01T00:00:00", 5, 5),
+        ],
+    )
+    out = streaming.gap_sessions(df, gap="1 hour")
+    got = {(r["traj_id"], r["n"]) for r in out.collect()}
+    assert got == {("1", 2), ("1", 1), ("2", 1)}
+
+
+def test_streaming_tile_rollup_with_memory_sink(spark, tmp_path):
+    # drive the actual streaming path: file source -> watermarked rollup -> memory sink
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:10", 10.0, 10.0),
+            (1, "2020-01-01T00:00:20", 10.0, 10.0),
+            (2, "2020-01-01T00:01:10", -170.0, -80.0),
+        ],
+    )
+    src_dir = str(tmp_path / "stream_src")
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    rollup = streaming.streaming_tile_rollup(stream, res=4, window="1 minute")
+    q = (
+        rollup.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tiles_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tiles_test").collect()
+    assert sum(r["n_points"] for r in rows) == 3
+    assert len({r["cell"] for r in rows}) == 2

@@ -1,0 +1,122 @@
+"""Scaling-efficiency evidence (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors).
+
+Sandbox protocol (BASELINE.md): run the identical north-rule job —
+interleaved docs -> explode -> point-in-polygon spatial join -> tile
+rollup -> span-sequence invariant — at local[8] and local[32] on the
+same input, report docs/sec at both and efficiency = (T_8 / T_32) / 4.
+
+Each parallelism level runs in its own subprocess (a SparkContext's
+master is fixed for the JVM's lifetime); each run warms up untimed and
+times the best of `--iters` passes to shed JIT noise.
+
+Usage: python tools/bench_scaling.py [--docs 400000] [--iters 2]
+       -> prints a JSON summary and rewrites BENCH.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AOI = [(-60.0, 60.0), (60.0, 60.0), (60.0, -60.0), (-60.0, -60.0)]
+
+
+def run_one(cpus: int, n_docs: int, iters: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from movingspark import ingest, joins
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"movingspark-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    docs = ingest.synth_interleaved_docs(spark, n_docs).repartition(cpus * 4).persist()
+    docs.count()
+
+    def pipeline():
+        pts = ingest.explode_doc_points(docs)
+        force(joins.point_in_polygon_join(pts, [("aoi", AOI)], res=6))
+        force(joins.tile_rollup(pts, res=6))
+        force(ingest.span_invariant_violations(docs))
+
+    pipeline()  # untimed warmup (JIT, codegen, Arrow workers)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        pipeline()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return {"cpus": cpus, "seconds": round(best, 3), "docs": n_docs, "docs_per_sec": round(n_docs / best, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--one", type=int, default=None, help="internal: run a single parallelism level")
+    args = ap.parse_args()
+
+    if args.one is not None:
+        print(json.dumps(run_one(args.one, args.docs, args.iters)))
+        return
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(cpus),
+             "--docs", str(args.docs), "--iters", str(args.iters)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    t8, t32 = results[8]["seconds"], results[32]["seconds"]
+    eff = (t8 / t32) / 4.0
+    summary = {
+        "job": "north-rule doc pipeline: synth -> explode -> PIP join -> tile rollup -> span invariant",
+        "docs": args.docs,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "passes": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — scaling-efficiency evidence (north rule)\n\n"
+            "Identical job at two parallelism levels on the same input\n"
+            "(sandbox stand-in for N vs 4N executors; driver instruction).\n\n"
+            f"Job: {summary['job']}\n\n"
+            f"| parallelism | wall time (s) | docs/sec |\n|---|---|---|\n"
+            f"| local[8] | {t8} | {results[8]['docs_per_sec']} |\n"
+            f"| local[32] | {t32} | {results[32]['docs_per_sec']} |\n\n"
+            f"- input: {args.docs} interleaved documents (deterministic synth)\n"
+            f"- speedup 8->32 cores: {summary['speedup_8_to_32']}x\n"
+            f"- scaling efficiency (T8/T32)/4 = **{summary['scaling_efficiency']}** "
+            f"(target >= 0.8: {'PASS' if summary['passes'] else 'FAIL'})\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
