@@ -441,6 +441,91 @@ SELECT traj_id, t, x, y, cluster_id, ROUND(dist, {R}) AS dist FROM (
 """
 
 
+def q_flows(spark, sf_dir):
+    """A12/X18 flow map: nearest-centroid per point (broadcast kNN),
+    compress consecutive repeats per trajectory, count transitions
+    (weight) and distinct objects (obj_weight) per directed edge.
+    Reference: trajectory_aggregator.py:236-296."""
+    from movingspark import aggregate
+
+    pts = (
+        _events(spark, sf_dir)
+        .select("traj_id", "t", "x", "y")
+        .withColumn("obj_id", F.col("traj_id"))
+    )
+    cents = spark.createDataFrame(KNN_CENTROIDS, "cluster_id string, cx double, cy double")
+    out = aggregate.compute_flows(pts, cents)
+    return out.select(
+        "from_cluster", "to_cluster", "from_x", "from_y", "to_x", "to_y", "weight", "obj_weight"
+    )
+
+
+SQL_FLOWS = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+cents(cluster_id, cx, cy) AS (VALUES {_CENT_VALUES}),
+near AS (
+  SELECT traj_id, t, cluster_id FROM (
+    SELECT pts.traj_id, pts.t, cents.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
+               ORDER BY SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)), cluster_id) AS rk
+    FROM pts CROSS JOIN cents
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT traj_id, t, cluster_id FROM (
+    SELECT near.*, LAG(cluster_id) OVER (PARTITION BY traj_id ORDER BY t) AS prev
+    FROM near
+  ) WHERE prev IS NULL OR prev <> cluster_id
+),
+trans AS (
+  SELECT traj_id,
+         LAG(cluster_id) OVER (PARTITION BY traj_id ORDER BY t) AS from_cluster,
+         cluster_id AS to_cluster
+  FROM kept
+)
+SELECT from_cluster, to_cluster,
+       cf.cx AS from_x, cf.cy AS from_y, ct.cx AS to_x, ct.cy AS to_y,
+       COUNT(*) AS weight, COUNT(DISTINCT traj_id) AS obj_weight
+FROM trans
+JOIN cents cf ON cf.cluster_id = from_cluster
+JOIN cents ct ON ct.cluster_id = to_cluster
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+def q_visit_counts(spark, sf_dir):
+    """A12 hour-quartile visit counters per cluster
+    (trajectory_aggregator.py:281-287)."""
+    from movingspark import aggregate
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    cents = spark.createDataFrame(KNN_CENTROIDS, "cluster_id string, cx double, cy double")
+    return aggregate.cell_visit_counts(pts, cents)
+
+
+SQL_VISIT_COUNTS = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+cents(cluster_id, cx, cy) AS (VALUES {_CENT_VALUES}),
+near AS (
+  SELECT traj_id, t, cluster_id FROM (
+    SELECT pts.traj_id, pts.t, cents.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
+               ORDER BY SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)), cluster_id) AS rk
+    FROM pts CROSS JOIN cents
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT traj_id, t, cluster_id FROM (
+    SELECT near.*, LAG(cluster_id) OVER (PARTITION BY traj_id ORDER BY t) AS prev
+    FROM near
+  ) WHERE prev IS NULL OR prev <> cluster_id
+)
+SELECT cluster_id, CAST(FLOOR(EXTRACT(hour FROM t) / 6.0) AS INT) + 1 AS hour_quartile,
+       COUNT(*) AS n
+FROM kept GROUP BY 1, 2
+"""
+
+
 # --- north-rule interleaved documents -------------------------------------
 
 
@@ -550,20 +635,38 @@ def q_dedup_minhash(spark, sf_dir):
     hash families, banded into one bucket key; docs sharing a bucket are
     candidate pairs. (Shingle->minhash->band->bucket-join.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(_lower_ascii(F.col("text")), "\\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    # Shape notes (measured, not cosmetic):
+    # - split/lowercase the text ONCE per doc in its own projection. The
+    #   earlier transform(sequence(...), lambda)-built shingle array ran
+    #   on the interpreted expression path (higher-order functions break
+    #   whole-stage codegen) and re-evaluated split(translate(text)) for
+    #   EVERY shingle — a straggler task sat minutes in UTF8String
+    #   .translate/Pattern.split.
+    # - explode a shingle INDEX (plain generator, codegen'd) and slice
+    #   the words array per row; hash each shingle once per family with
+    #   map-side partial min aggregation — the shape that scales.
+    # - repartition after the scan: a small parquet file arrives as ONE
+    #   input split (at production scale the table has thousands of
+    #   splits, so the explode parallelism is free; here it must be
+    #   re-established explicitly or the whole query runs on one core).
+    n_part = spark.sparkContext.defaultParallelism
+    w = docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(_lower_ascii(F.col("text")), "\\s+").alias("words")
     )
-    d = docs.withColumn("sh", sh)
-    for salt in range(4):
-        d = d.withColumn(
-            f"mh{salt}",
-            F.array_min(F.transform("sh", lambda s: F.md5(F.concat(F.lit(str(salt)), s)))),
-        )
+    ex = w.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.size("words") - 3, F.lit(0)))).alias("k"),
+    ).select("doc_id", F.concat_ws(" ", F.slice("words", F.col("k") + 1, 3)).alias("s"))
+    g = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(salt)), F.col("s")))).alias(f"mh{salt}")
+            for salt in range(4)
+        ]
+    )
     band = F.md5(F.concat_ws("|", "mh0", "mh1", "mh2", "mh3"))
     return (
-        d.withColumn("band", band)
+        g.withColumn("band", band)
         .groupBy("band")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -984,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "intersecting_trajs": q_intersecting_trajs,
         "knn": q_knn,
+        "flows": q_flows,
+        "visit_counts": q_visit_counts,
         "doc_points": q_doc_points,
         "span_invariant": q_span_invariant,
         "doc_tiling": q_doc_tiling,
@@ -1026,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "knn": SQL_KNN,
+        "flows": SQL_FLOWS,
+        "visit_counts": SQL_VISIT_COUNTS,
         "doc_points": SQL_DOC_POINTS,
         "span_invariant": SQL_SPAN_INVARIANT,
         "doc_tiling": SQL_DOC_TILING,

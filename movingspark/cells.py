@@ -62,7 +62,19 @@ def cell_ixiy_expr(x: Column, y: Column, res: int, bounds=WORLD):
 
 
 def cell_id_expr(x: Column, y: Column, res: int, bounds=WORLD) -> Column:
-    """Z-order cell id as a pure Spark SQL expression (no UDF)."""
+    """Z-order cell id as a pure Spark SQL expression (no UDF).
+
+    The result is wrapped in coalesce(..., -1) to make the column
+    NON-NULLABLE. This is load-bearing for performance, not cosmetics:
+    when the cell id is a join key, Catalyst's constraint inference adds
+    isnotnull(<whole interleave expression>) and pushes it below the
+    upstream projections, inlining every x/y reference — for parsed
+    sources that re-evaluated split()+parseDouble 12x per row (measured
+    5x slowdown of the doc spatial join). A non-nullable key produces no
+    isnotnull constraint at all. Values are unchanged: the interleave is
+    only null when x or y is null, which the -1 sentinel maps outside
+    every valid cover cell (cover ids are >= 0), so joins/rollups treat
+    malformed rows as no-match either way."""
     ix, iy = cell_ixiy_expr(x, y, res, bounds)
     out = F.lit(0).cast("long")
     for k in range(res):
@@ -71,7 +83,7 @@ def cell_id_expr(x: Column, y: Column, res: int, bounds=WORLD) -> Column:
             + F.shiftleft(F.shiftright(ix, k) % 2, 2 * k + 1)
             + F.shiftleft(F.shiftright(iy, k) % 2, 2 * k)
         )
-    return out
+    return F.coalesce(out, F.lit(-1).cast("long"))
 
 
 def cell_id_sql(x: str, y: str, res: int, bounds=WORLD) -> str:

@@ -27,15 +27,9 @@ from pyspark.sql import functions as F
 
 
 def build_session(app: str) -> SparkSession:
-    return (
-        SparkSession.builder.appName(app)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
+    from movingspark.session import tune_builder
+
+    return tune_builder(SparkSession.builder.appName(app)).getOrCreate()
 
 
 def cmd_pipeline(args) -> int:

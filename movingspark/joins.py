@@ -52,6 +52,43 @@ def cover_to_df(spark: SparkSession, polygons, res: int, bounds=cells.WORLD) -> 
     return spark.createDataFrame(rows or [], "cell long, poly_id string, full boolean")
 
 
+# polygons with at most this many total vertices refine via a generated
+# SQL expression (whole-stage codegen, no Python); bigger ones fall back
+# to the Arrow-batched numpy kernel
+_PIP_EXPR_MAX_VERTS = 256
+
+
+def pip_expr(px, py, poly) -> F.Column:
+    """Generated-SQL ray-cast point-in-polygon predicate — the exact
+    arithmetic of kernels.point_in_polygon (even-odd rule + on-edge
+    tolerance, boundary counts as inside) unrolled over the driver-known
+    vertex list into a codegen'd column expression. IEEE float64 ops in
+    the same order as the numpy kernel => bit-identical verdicts."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    inside = F.lit(False)
+    on_edge = F.lit(False)
+    k = len(poly)
+    for i in range(k):
+        xa, ya = float(poly[i, 0]), float(poly[i, 1])
+        xb, yb = float(poly[(i + 1) % k, 0]), float(poly[(i + 1) % k, 1])
+        cond = (F.lit(ya) > py) != (F.lit(yb) > py)
+        denom = (yb - ya) if yb != ya else 1.0
+        xint = F.lit(xa) + ((py - F.lit(ya)) * F.lit(xb - xa)) / F.lit(denom)
+        inside = inside != (cond & (px < xint))  # boolean != == XOR
+        cross = F.lit(xb - xa) * (py - F.lit(ya)) - F.lit(yb - ya) * (px - F.lit(xa))
+        within = (
+            (F.abs(cross) < F.lit(1e-12))
+            & (px >= F.lit(min(xa, xb) - 1e-12))
+            & (px <= F.lit(max(xa, xb) + 1e-12))
+            & (py >= F.lit(min(ya, yb) - 1e-12))
+            & (py <= F.lit(max(ya, yb) + 1e-12))
+        )
+        on_edge = on_edge | within
+    return inside | on_edge
+
+
 def point_in_polygon_join(
     df: DataFrame,
     polygons,
@@ -64,7 +101,10 @@ def point_in_polygon_join(
     list of (poly_id, vertices). Returns input columns + poly_id.
 
     Plan shape: scan -> project(cell) -> BroadcastHashJoin(cover) ->
-    [full cells pass | boundary cells -> Arrow-batched PIP refine].
+    filter(full-cell OR generated ray-cast expr). One scan, one
+    broadcast join, zero Python for polygons up to _PIP_EXPR_MAX_VERTS
+    total vertices; beyond that, boundary-cell rows refine through an
+    Arrow-batched numpy kernel (interior cells still skip it).
     """
     spark = df.sparkSession
     poly_map = {str(pid): np.asarray(v, float) for pid, v in polygons}
@@ -74,6 +114,16 @@ def point_in_polygon_join(
     joined = pts.join(
         F.broadcast(cover), on=F.col("__cell") == cover["cell"], how="inner"
     ).drop("cell")
+
+    n_verts = sum(len(v) for v in poly_map.values())
+    if n_verts <= _PIP_EXPR_MAX_VERTS:
+        # single-pass JVM refine: CASE over poly_id -> unrolled ray-cast
+        pred = None
+        for pid, verts in poly_map.items():
+            hit = pip_expr(F.col(cols.x), F.col(cols.y), verts)
+            branch = (F.col("poly_id") == F.lit(pid)) & hit
+            pred = branch if pred is None else (pred | branch)
+        return joined.filter(F.col("full") | pred).drop("full", "__cell")
 
     @F.pandas_udf(T.BooleanType())
     def refine(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:

@@ -1,0 +1,68 @@
+"""Shared SparkSession tuning for every entrypoint (bench, tests,
+oracle checks, cluster CLI).
+
+The single most important setting is the JIT code cache. Whole-stage
+codegen emits one generated class per plan stage; with the JVM default
+``ReservedCodeCacheSize`` (240-256 MB) a session that runs tens of
+distinct plans (a bench suite, the oracle harness, a long-lived
+notebook/job server — or one 100 TB job with many stages) fills the
+code cache, at which point HotSpot STOPS JIT-compiling and the whole
+engine silently degrades 10-100x (measured in this sandbox: the same
+point-in-polygon join ran 1.5 s with a warm JIT and 31-300 s once the
+cache filled; run-over-run times *degraded* 15 s -> 33 s -> 75 s).
+``UseCodeCacheFlushing`` lets HotSpot evict cold generated methods
+instead of giving up.
+
+These are JVM-launch-time options: they must be passed to
+``SparkSession.builder`` before the first ``getOrCreate()`` (and via
+``spark.executor.extraJavaOptions`` / ``--conf`` on a real cluster,
+where executors are separate JVMs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+JVM_CODEGEN_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+
+
+def _scratch_dir() -> str | None:
+    """Prefer RAM-backed scratch for shuffle/spill files in local mode.
+
+    The sandbox host shows multi-second uninterruptible-sleep I/O stalls
+    (loadavg >> busy CPUs with ~97% idle); shuffle scratch on tmpfs takes
+    the disk out of the measurement. On a real cluster spark.local.dir
+    comes from the cluster manager (NVMe/SSD per node) — only override
+    when /dev/shm exists and nothing was configured."""
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/movingspark-scratch"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
+def tune_builder(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine-wide physical-execution settings to a builder.
+
+    - big JIT code cache (see module docstring) on driver AND executor
+    - AQE on (runtime coalesce, broadcast conversion, skew-join split)
+    - Arrow transfer for the pandas-UDF kernels
+    - UTC session timezone (timestamp determinism across engines)
+    """
+    b = (
+        builder.config("spark.driver.extraJavaOptions", JVM_CODEGEN_OPTS)
+        .config("spark.executor.extraJavaOptions", JVM_CODEGEN_OPTS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    scratch = _scratch_dir()
+    if scratch:
+        b = b.config("spark.local.dir", scratch)
+    return b

@@ -29,49 +29,86 @@ RANGE_SCHEMA = "traj_id string, start_t timestamp, end_t timestamp"
 
 def _detect_stops_np(xs: np.ndarray, ys: np.ndarray, ts: np.ndarray, max_diameter: float, min_duration_s: float, latlon: bool):
     """Port of _process_traj (trajectory_stop_detector.py:122-187).
-    ts are float seconds; returns list of (t0, tn) index pairs into ts."""
+    ts are float seconds; returns list of (t0, tn) index pairs into ts.
+
+    The reference's point buffer is always a CONTIGUOUS index range
+    (append i; trim the head; reset to the last element), so it is
+    represented here as [lo, i] with monotonic deques giving O(1)
+    amortized bbox extrema — the exact per-step bbox/MRR decision
+    sequence is unchanged, only the bookkeeping is cheaper than the
+    reference's list slicing + full-window min/max per step.
+    """
+    from collections import deque
+
     out = []
-    buf: list[int] = []  # indices into xs/ys/ts
+    lo = 0  # buffer = indices lo..i inclusive
     is_stopped = False
     previously_stopped = False
     n = len(ts)
-    for i in range(n):
-        buf.append(i)
-        if not is_stopped:
-            first_to_keep = 0
-            while (
-                len(buf) - first_to_keep > 2
-                and ts[i] - ts[buf[first_to_keep]] >= min_duration_s
-            ):
-                first_to_keep += 1
-            buf = buf[first_to_keep:]
+    # monotonic index deques: front is argmin/argmax of the window
+    qxmin: deque = deque()
+    qxmax: deque = deque()
+    qymin: deque = deque()
+    qymax: deque = deque()
 
-        bx = xs[buf]
-        by = ys[buf]
-        minx, maxx = bx.min(), bx.max()
-        miny, maxy = by.min(), by.max()
+    def push(i):
+        while qxmin and xs[qxmin[-1]] >= xs[i]:
+            qxmin.pop()
+        qxmin.append(i)
+        while qxmax and xs[qxmax[-1]] <= xs[i]:
+            qxmax.pop()
+        qxmax.append(i)
+        while qymin and ys[qymin[-1]] >= ys[i]:
+            qymin.pop()
+        qymin.append(i)
+        while qymax and ys[qymax[-1]] <= ys[i]:
+            qymax.pop()
+        qymax.append(i)
+
+    def evict(lo):
+        while qxmin[0] < lo:
+            qxmin.popleft()
+        while qxmax[0] < lo:
+            qxmax.popleft()
+        while qymin[0] < lo:
+            qymin.popleft()
+        while qymax[0] < lo:
+            qymax.popleft()
+
+    for i in range(n):
+        push(i)
+        if not is_stopped:
+            # drop the head while >2 points remain in the window and the
+            # head still makes the window span >= min_duration (exact
+            # restatement of the reference's first_to_keep loop)
+            while (i - lo + 1) > 2 and ts[i] - ts[lo] >= min_duration_s:
+                lo += 1
+            evict(lo)
 
         is_stopped = False
-        if len(buf) > 1:
+        if i > lo:
+            minx, maxx = xs[qxmin[0]], xs[qxmax[0]]
+            miny, maxy = ys[qymin[0]], ys[qymax[0]]
             if latlon:
                 d = float(kernels.geodesic(minx, miny, maxx, maxy))
             else:
                 d = float(np.hypot(maxx - minx, maxy - miny))
             if d < max_diameter * 1.5:
-                if kernels.mrr_diagonal(np.column_stack([bx, by]), latlon) < max_diameter:
+                if kernels.mrr_diagonal(np.column_stack([xs[lo : i + 1], ys[lo : i + 1]]), latlon) < max_diameter:
                     is_stopped = True
 
-        if not is_stopped and previously_stopped and len(buf) > 1:
-            seg_begin = ts[buf[0]]
-            seg_end = ts[buf[-2]]
+        if not is_stopped and previously_stopped and i > lo:
+            seg_begin = ts[lo]
+            seg_end = ts[i - 1]
             if seg_end - seg_begin >= min_duration_s:
                 out.append((seg_begin, seg_end))
-                buf = buf[-1:]
+                lo = i
+                evict(lo)
 
         previously_stopped = is_stopped
 
-    if is_stopped and ts[buf[-1]] - ts[buf[0]] >= min_duration_s:
-        out.append((ts[buf[0]], ts[buf[-1]]))
+    if is_stopped and ts[n - 1] - ts[lo] >= min_duration_s:
+        out.append((ts[lo], ts[n - 1]))
     return out
 
 

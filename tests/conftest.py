@@ -1,17 +1,19 @@
 import pytest
 from pyspark.sql import SparkSession
 
+from movingspark.session import tune_builder
+
 
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[4]")
-        .appName("movingspark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        tune_builder(
+            SparkSession.builder.master("local[4]")
+            .appName("movingspark-tests")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

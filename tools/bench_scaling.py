@@ -32,15 +32,16 @@ def run_one(cpus: int, n_docs: int, iters: int) -> dict:
     from pyspark.sql import SparkSession
 
     from movingspark import ingest, joins
+    from movingspark.session import tune_builder
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"movingspark-scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        tune_builder(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"movingspark-scaling-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -73,13 +73,16 @@ def main():
     import __spark_entry__ as E
     from pyspark.sql import SparkSession
 
+    from movingspark.session import tune_builder
+
     spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("check-correctness")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "16g")
+        tune_builder(
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
