@@ -250,17 +250,45 @@ def reassemble_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_seq_digest(docs: DataFrame, name: str) -> DataFrame:
+    """Per-doc sequence digest: xxhash64 of (doc_id, array position,
+    kind, text, media_ref) per span, XOR-folded per doc, plus the span
+    count. Including the array POSITION in each hash makes the digest
+    order-sensitive: a reassembly that returns the right spans in the
+    wrong order produces different (pos, span) hashes. Null text /
+    media_ref map to distinct sentinels so column identity survives
+    xxhash64's null-skipping. bit_xor needs no collect_list and no JSON
+    serialization — it aggregates map-side partially, so the shuffle
+    carries one 8-byte digest per (doc, partition)."""
+    sp = docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    h = F.xxhash64(
+        "doc_id",
+        "pos",
+        F.col("s.kind"),
+        F.coalesce(F.col("s.text"), F.lit(" <null-text>")),
+        F.coalesce(F.col("s.media_ref"), F.lit("<null-ref>")),
+    )
+    return sp.groupBy("doc_id").agg(
+        F.bit_xor(h).alias(name), F.count("*").alias(f"{name}_n")
+    )
+
+
 def span_invariant_violations(docs: DataFrame) -> DataFrame:
     """Rows = docs whose explode->reassemble round trip does NOT preserve
     the exact span sequence (kind, text, media_ref, order). Empty result
-    == invariant holds. Both sides reduce to an md5 of the canonical
-    JSON before the join, so the shuffle exchanges 32-char digests
-    rather than full span arrays."""
-    orig = docs.select("doc_id", F.md5(F.to_json("spans")).alias("h"))
-    rebuilt = reassemble_docs(docs).select(
-        "doc_id", F.md5(F.to_json("spans")).alias("h_rt")
-    )
+    == invariant holds. Both sides reduce to an 8-byte positional digest
+    (_span_seq_digest) before the join — the only payload-sized shuffle
+    left is the reassembly itself, which is the operator under test.
+    (64-bit XOR-fold digest equality is probabilistic in the
+    cryptographic sense — the standard large-scale verification
+    trade-off; the pinned tests assert exact array equality on small
+    inputs.)"""
+    orig = _span_seq_digest(docs, "h")
+    rebuilt = _span_seq_digest(reassemble_docs(docs), "h_rt")
     joined = orig.join(rebuilt, "doc_id", "full_outer")
     return joined.filter(
-        F.col("h").isNull() | F.col("h_rt").isNull() | (F.col("h") != F.col("h_rt"))
+        F.col("h").isNull()
+        | F.col("h_rt").isNull()
+        | (F.col("h") != F.col("h_rt"))
+        | (F.col("h_n") != F.col("h_rt_n"))
     ).select("doc_id")
