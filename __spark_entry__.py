@@ -48,6 +48,13 @@ def _round(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def _round2(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Tie-robust double rounding (9dp then R dp); SQL twin is ROUND(ROUND(x,9),R)."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.round(F.col(c), 9), R))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -94,9 +101,13 @@ FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY traj_id
 def q_derive_kinematics(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     out = derive.add_all_kinematics(pts)
-    # timedelta_s stays unrounded: it is exact µs/1e6 on both sides, and
-    # rounding a decimal tie (x.xxxx85) differs between JVM and DuckDB
-    return _round(
+    # timedelta_s stays unrounded: it is exact µs/1e6 on both sides.
+    # Computed doubles are DOUBLE-rounded (9dp then 5dp) on both engines:
+    # JVM vs C libm differ by 1-2 ulp on trig/div, which flips ROUND(x,5)
+    # exactly on 5dp half-way ties; snapping to the 9dp grid first makes a
+    # flip require the value to sit within 1 ulp of a point that is
+    # simultaneously a 9dp and 5dp tie (probability ~1e-9 per row).
+    return _round2(
         out.select(
             "traj_id", "t", "x", "y",
             "timedelta_s", "distance", "speed", "direction",
@@ -149,11 +160,11 @@ d5 AS (
 )
 SELECT traj_id, t, x, y,
        dt AS timedelta_s,
-       ROUND(dist_raw, {R}) AS distance,
-       ROUND(speed, {R}) AS speed,
-       ROUND(direction, {R}) AS direction,
-       ROUND(ang_raw, {R}) AS angular_difference,
-       ROUND(acc, {R}) AS acceleration
+       ROUND(ROUND(dist_raw, 9), {R}) AS distance,
+       ROUND(ROUND(speed, 9), {R}) AS speed,
+       ROUND(ROUND(direction, 9), {R}) AS direction,
+       ROUND(ROUND(ang_raw, 9), {R}) AS angular_difference,
+       ROUND(ROUND(acc, 9), {R}) AS acceleration
 FROM d5
 """
 
@@ -417,6 +428,57 @@ def q_intersecting_trajs(spark, sf_dir):
 
 SQL_INTERSECTING_TRAJS = f"""
 SELECT DISTINCT traj_id FROM ({EVENTS_POINTS_ORACLE_FULL}) WHERE {POLY_SQL}
+"""
+
+
+def q_intersecting_trajs_line(spark, sf_dir):
+    """F7/F8 LINE semantics (trajectory.py:1533-1546 -> overlay.py:86-91):
+    the trajectory LineString intersects the polygon — crossing segments
+    count even when no vertex lies inside."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.intersecting_traj_ids_line(pts, POLY)
+
+
+def _seg_intersects_sql(poly) -> str:
+    """DuckDB mirror of joins.seg_intersects_expr over segment columns
+    (px,py)->(x,y): endpoint-inside (convex rect comparisons) OR an
+    orientation-test crossing of any edge, with the SAME Python-computed
+    edge-delta literals so JVM and DuckDB run identical IEEE arithmetic."""
+    import numpy as _np
+
+    p = _np.asarray(poly, dtype=_np.float64)
+    if _np.array_equal(p[0], p[-1]):
+        p = p[:-1]
+    inside_a = "(px >= 20 AND px <= 120 AND py >= 20 AND py <= 80)"
+    inside_b = "(x >= 20 AND x <= 120 AND y >= 20 AND y <= 80)"
+    parts = [inside_a, inside_b]
+    k = len(p)
+    for i in range(k):
+        ex1, ey1 = float(p[i, 0]), float(p[i, 1])
+        ex2, ey2 = float(p[(i + 1) % k, 0]), float(p[(i + 1) % k, 1])
+        dex, dey = repr(ex2 - ex1), repr(ey2 - ey1)
+        d1 = f"((x-px)*({ey1!r}-py) - (y-py)*({ex1!r}-px))"
+        d2 = f"((x-px)*({ey2!r}-py) - (y-py)*({ex2!r}-px))"
+        d3 = f"(({dex})*(py-{ey1!r}) - ({dey})*(px-{ex1!r}))"
+        d4 = f"(({dex})*(y-{ey1!r}) - ({dey})*(x-{ex1!r}))"
+        bbox = (
+            f"(LEAST(px,x) <= {max(ex1, ex2)!r} AND GREATEST(px,x) >= {min(ex1, ex2)!r} "
+            f"AND LEAST(py,y) <= {max(ey1, ey2)!r} AND GREATEST(py,y) >= {min(ey1, ey2)!r})"
+        )
+        parts.append(f"({bbox} AND {d1}*{d2} <= 0 AND {d3}*{d4} <= 0)")
+    return " OR ".join(parts)
+
+
+SQL_INTERSECTING_TRAJS_LINE = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+seg AS (
+  SELECT traj_id,
+         COALESCE(LAG(x) OVER w, x) AS px,
+         COALESCE(LAG(y) OVER w, y) AS py,
+         x, y
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT DISTINCT traj_id FROM seg WHERE {_seg_intersects_sql(POLY)}
 """
 
 
@@ -1086,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_salted": q_tile_rollup_salted,
         "point_in_polygon": q_point_in_polygon,
         "intersecting_trajs": q_intersecting_trajs,
+        "intersecting_trajs_line": q_intersecting_trajs_line,
         "knn": q_knn,
         "flows": q_flows,
         "visit_counts": q_visit_counts,
@@ -1130,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
+        "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
         "knn": SQL_KNN,
         "flows": SQL_FLOWS,
         "visit_counts": SQL_VISIT_COUNTS,

@@ -97,7 +97,9 @@ def cell_id_sql(x: str, y: str, res: int, bounds=WORLD) -> str:
     for k in range(res):
         terms.append(f"((({ix}) >> {k}) % 2) * {1 << (2 * k + 1)}")
         terms.append(f"((({iy}) >> {k}) % 2) * {1 << (2 * k)}")
-    return "(" + " + ".join(terms) + ")"
+    # COALESCE(-1) mirrors cell_id_expr's null->-1 sentinel so engine and
+    # oracle stay in lock-step on null coordinates.
+    return "COALESCE(" + " + ".join(terms) + ", -1)"
 
 
 def parent_cell_expr(cell: Column, levels: int = 1) -> Column:

@@ -154,6 +154,120 @@ def intersecting_traj_ids(df: DataFrame, polygon, res: int = 8, bounds=cells.WOR
     return hits.select(cols.traj_id).distinct()
 
 
+def seg_intersects_expr(ax, ay, bx, by, poly) -> F.Column:
+    """Codegen'd predicate: segment (ax,ay)->(bx,by) intersects the
+    driver-known polygon (interior or boundary — shapely `intersects`
+    semantics). Endpoint-inside via the unrolled ray-cast (pip_expr) OR
+    a crossing/touch of any polygon edge (orientation tests + per-pair
+    bbox overlap, which rejects collinear-but-disjoint pairs). Same
+    IEEE arithmetic order as kernels.segments_intersect_polygon so the
+    Arrow fallback and the SQL oracle agree bit-for-bit."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    hit = pip_expr(ax, ay, poly) | pip_expr(bx, by, poly)
+    k = len(poly)
+    for i in range(k):
+        px, py = float(poly[i, 0]), float(poly[i, 1])
+        qx, qy = float(poly[(i + 1) % k, 0]), float(poly[(i + 1) % k, 1])
+        d1 = (bx - ax) * (F.lit(py) - ay) - (by - ay) * (F.lit(px) - ax)
+        d2 = (bx - ax) * (F.lit(qy) - ay) - (by - ay) * (F.lit(qx) - ax)
+        d3 = F.lit(qx - px) * (ay - F.lit(py)) - F.lit(qy - py) * (ax - F.lit(px))
+        d4 = F.lit(qx - px) * (by - F.lit(py)) - F.lit(qy - py) * (bx - F.lit(px))
+        bbox = (
+            (F.least(ax, bx) <= F.lit(max(px, qx)))
+            & (F.greatest(ax, bx) >= F.lit(min(px, qx)))
+            & (F.least(ay, by) <= F.lit(max(py, qy)))
+            & (F.greatest(ay, by) >= F.lit(min(py, qy)))
+        )
+        hit = hit | (bbox & (d1 * d2 <= 0) & (d3 * d4 <= 0))
+    return hit
+
+
+def _traj_segments(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """Consecutive-point segments per trajectory (__px,__py)->(x,y); the
+    first point of each trajectory becomes a degenerate point-segment so
+    single-point trajectories are still testable."""
+    w = Window.partitionBy(cols.traj_id).orderBy(cols.t)
+    return df.withColumn("__px", F.coalesce(F.lag(cols.x).over(w), F.col(cols.x))).withColumn(
+        "__py", F.coalesce(F.lag(cols.y).over(w), F.col(cols.y))
+    )
+
+
+def intersecting_traj_ids_line(
+    df: DataFrame, polygon, cols: PointCols = TRAJ_COLS
+) -> DataFrame:
+    """F7/F8 LINE-based semantics (reference trajectory.py:1533-1546 ->
+    overlay.py:86-91): trajectories whose LineString intersects the
+    polygon — a trajectory that crosses a small polygon between two
+    outside observations still matches, unlike the point-based variant.
+
+    Plan shape: one window (lag over the trajectory's own sort order —
+    the partitioning every per-traj op shares) -> codegen'd bbox
+    prefilter (prunes nearly all segments against the polygon's bbox,
+    driver-known literals) -> codegen'd exact segment test -> distinct
+    traj_ids. No Python, no extra shuffle beyond the per-traj window."""
+    poly = np.asarray(polygon, dtype=np.float64)
+    seg = _traj_segments(df, cols)
+    minx, miny = float(poly[:, 0].min()), float(poly[:, 1].min())
+    maxx, maxy = float(poly[:, 0].max()), float(poly[:, 1].max())
+    x, y, px, py = F.col(cols.x), F.col(cols.y), F.col("__px"), F.col("__py")
+    cand = seg.filter(
+        (F.least(px, x) <= F.lit(maxx))
+        & (F.greatest(px, x) >= F.lit(minx))
+        & (F.least(py, y) <= F.lit(maxy))
+        & (F.greatest(py, y) >= F.lit(miny))
+    )
+    n_verts = len(poly)
+    if 2 * n_verts <= _PIP_EXPR_MAX_VERTS:
+        hits = cand.filter(seg_intersects_expr(px, py, x, y, poly))
+    else:
+        @F.pandas_udf(T.BooleanType())
+        def refine(pxs: pd.Series, pys: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(
+                kernels.segments_intersect_polygon(
+                    pxs.to_numpy(float), pys.to_numpy(float), xs.to_numpy(float), ys.to_numpy(float), poly
+                )
+            )
+
+        hits = cand.filter(refine(px, py, x, y))
+    return hits.select(cols.traj_id).distinct()
+
+
+def get_intersecting(df: DataFrame, polygon, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """F8: the full point rows of every trajectory whose LINE intersects
+    the polygon (reference TrajectoryCollection.get_intersecting,
+    trajectory_collection.py — line semantics). Broadcast semi-join of
+    the (small) matching id set back onto the point table."""
+    ids = intersecting_traj_ids_line(df, polygon, cols)
+    return df.join(F.broadcast(ids), cols.traj_id, "left_semi")
+
+
+def _nn1_agg(cross: DataFrame, point_columns, centroid_cols) -> DataFrame:
+    """k=1 nearest: map-side-combinable min_by over the candidate rows.
+
+    `groupBy(point row) + min_by(candidate, struct(dist, cid))` partially
+    aggregates inside each map task, so only ~|points| rows reach the
+    exchange — vs a row_number() window that sort-shuffles the full
+    |points| x |candidates| product on a near-unique key. Ties broken by
+    centroid id (struct ordering is lexicographic) for determinism."""
+    cid, cx, cy = centroid_cols
+    nn = cross.groupBy(*point_columns).agg(
+        F.min_by(
+            F.struct(F.col(cid), F.col(cx), F.col(cy), F.col("dist")),
+            F.struct(F.col("dist"), F.col(cid)),
+        ).alias("__nn")
+    )
+    return nn.select(
+        *point_columns,
+        F.col(f"__nn.{cid}").alias(cid),
+        F.col(f"__nn.{cx}").alias(cx),
+        F.col(f"__nn.{cy}").alias(cy),
+        F.col("__nn.dist").alias("dist"),
+        F.lit(1).alias("knn_rank"),
+    )
+
+
 def knn_join(
     points: DataFrame,
     centroids: DataFrame,
@@ -165,11 +279,16 @@ def knn_join(
     """J6: for each point the k nearest centroids (broadcast cross-join +
     per-point top-k). Correct for any centroid count; efficient when the
     centroid table is broadcastable (the reference's use case — cluster
-    centroids). Ties broken by centroid id for determinism."""
+    centroids). Ties broken by centroid id for determinism.
+
+    k=1 (the reference aggregator's only use) avoids the window sort
+    entirely — see `_nn1_agg`. k>1 keeps the row_number window path."""
     cid, cx, cy = centroid_cols
     cross = points.join(F.broadcast(centroids), how="cross")
     d = dist_expr(F.col(cols.x), F.col(cols.y), F.col(cx), F.col(cy), latlon)
     cross = cross.withColumn("dist", d)
+    if k == 1:
+        return _nn1_agg(cross, points.columns, centroid_cols)
     w = Window.partitionBy(*[F.col(c) for c in (cols.traj_id, cols.t, cols.x, cols.y)]).orderBy(
         F.col("dist").asc(), F.col(cid).asc()
     )
@@ -219,6 +338,8 @@ def knn_join_pruned(
     cand = pts.join(F.broadcast(cent), on="__cell", how="inner").drop("__cell")
     d = dist_expr(F.col(cols.x), F.col(cols.y), F.col(cx), F.col(cy), latlon)
     cand = cand.withColumn("dist", d)
+    if k == 1:
+        return _nn1_agg(cand, points.columns, centroid_cols)
     w = Window.partitionBy(*[F.col(c) for c in (cols.traj_id, cols.t, cols.x, cols.y)]).orderBy(
         F.col("dist").asc(), F.col(cid).asc()
     )

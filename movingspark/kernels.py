@@ -340,6 +340,40 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nda
     return inside | on_edge
 
 
+def segments_intersect_polygon(ax, ay, bx, by, poly: np.ndarray) -> np.ndarray:
+    """Vectorized: does segment (ax,ay)->(bx,by) intersect the polygon
+    (interior or boundary — shapely `intersects` semantics)? True iff an
+    endpoint is inside (boundary counts) or the segment crosses/touches
+    any polygon edge. Backs the line-based Trajectory.intersects
+    (reference trajectory.py:1533-1546 via overlay.py:86-91)."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    if np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    hit = point_in_polygon(ax, ay, poly) | point_in_polygon(bx, by, poly)
+    k = len(poly)
+    for i in range(k):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % k]
+        # orientation tests; d1*d2<=0 & d3*d4<=0 admits touching; the
+        # per-pair bbox overlap test rejects collinear-but-disjoint pairs
+        d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        d2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+        d3 = (qx - px) * (ay - py) - (qy - py) * (ax - px)
+        d4 = (qx - px) * (by - py) - (qy - py) * (bx - px)
+        bbox = (
+            (np.minimum(ax, bx) <= max(px, qx))
+            & (np.maximum(ax, bx) >= min(px, qx))
+            & (np.minimum(ay, by) <= max(py, qy))
+            & (np.maximum(ay, by) >= min(py, qy))
+        )
+        hit |= bbox & (d1 * d2 <= 0) & (d3 * d4 <= 0)
+    return hit
+
+
 def segment_polygon_clip(p0, p1, poly: np.ndarray):
     """Clip segment p0->p1 against a simple polygon; returns list of
     (t_enter, t_exit) parameter intervals (0..1) where the segment lies

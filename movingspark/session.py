@@ -29,13 +29,15 @@ JVM_CODEGEN_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
 
 
 def _scratch_dir() -> str | None:
-    """Prefer RAM-backed scratch for shuffle/spill files in local mode.
+    """RAM-backed scratch for shuffle/spill files — BENCH/TEST ONLY.
 
     The sandbox host shows multi-second uninterruptible-sleep I/O stalls
     (loadavg >> busy CPUs with ~97% idle); shuffle scratch on tmpfs takes
-    the disk out of the measurement. On a real cluster spark.local.dir
-    comes from the cluster manager (NVMe/SSD per node) — only override
-    when /dev/shm exists and nothing was configured."""
+    the disk out of the measurement. This is wrong for production:
+    shuffle spill exists precisely when memory is short, and tmpfs caps
+    at ~50% of RAM — so `tune_builder` only applies it when the caller
+    opts in (bench.py, tests, tools), never in the cluster CLI, and an
+    explicitly configured SPARK_LOCAL_DIRS always wins."""
     if os.environ.get("SPARK_LOCAL_DIRS"):
         return None
     if os.path.isdir("/dev/shm"):
@@ -45,13 +47,15 @@ def _scratch_dir() -> str | None:
     return None
 
 
-def tune_builder(builder: SparkSession.Builder) -> SparkSession.Builder:
+def tune_builder(builder: SparkSession.Builder, tmpfs_scratch: bool = False) -> SparkSession.Builder:
     """Apply engine-wide physical-execution settings to a builder.
 
     - big JIT code cache (see module docstring) on driver AND executor
     - AQE on (runtime coalesce, broadcast conversion, skew-join split)
     - Arrow transfer for the pandas-UDF kernels
     - UTC session timezone (timestamp determinism across engines)
+    - tmpfs_scratch=True (bench/tests only): spill to /dev/shm; the
+      production CLI leaves spark.local.dir to the cluster manager.
     """
     b = (
         builder.config("spark.driver.extraJavaOptions", JVM_CODEGEN_OPTS)
@@ -62,7 +66,8 @@ def tune_builder(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
-    scratch = _scratch_dir()
-    if scratch:
-        b = b.config("spark.local.dir", scratch)
+    if tmpfs_scratch:
+        scratch = _scratch_dir()
+        if scratch:
+            b = b.config("spark.local.dir", scratch)
     return b

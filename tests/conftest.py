@@ -12,7 +12,8 @@ def spark():
             .appName("movingspark-tests")
             .config("spark.sql.shuffle.partitions", "4")
             .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", "8g")
+            .config("spark.driver.memory", "8g"),
+            tmpfs_scratch=True,
         )
         .getOrCreate()
     )

@@ -79,6 +79,60 @@ def test_intersecting_traj_ids(spark):
     assert ids == {"1"}
 
 
+def test_intersecting_traj_ids_line(spark):
+    """Line semantics (trajectory.py:1533-1546, overlay.py:86-91; mirrors
+    test_trajectory_collection.py:179-237): traj 1 CROSSES the polygon
+    between two outside observations (no vertex inside) and must match;
+    the point-based variant misses it. Traj 2 stays outside; traj 3
+    merely touches a corner (shapely intersects => True)."""
+    df = rows_to_points(
+        spark,
+        [
+            # crosses the box horizontally at y=20, both endpoints outside
+            (1, "2020-01-01T00:00:00", 10, 20),
+            (1, "2020-01-01T00:00:10", 70, 20),
+            # entirely outside, segment passes below the box
+            (2, "2020-01-01T00:00:00", 10, 5),
+            (2, "2020-01-01T00:00:10", 70, 5),
+            # touches corner (30,15) only: the line y=45-x grazes the
+            # corner and is otherwise left of / below the box
+            (3, "2020-01-01T00:00:00", 20, 25),
+            (3, "2020-01-01T00:00:10", 40, 5),
+        ],
+    )
+    poly = [(30, 25), (50, 25), (50, 15), (30, 15)]
+    line_ids = {r["traj_id"] for r in joins.intersecting_traj_ids_line(df, poly).collect()}
+    assert line_ids == {"1", "3"}
+    point_ids = {r["traj_id"] for r in joins.intersecting_traj_ids(df, poly, res=6).collect()}
+    assert point_ids == set()  # no vertex inside -> point-based misses all
+    # get_intersecting returns the full rows of matching trajectories
+    rows = joins.get_intersecting(df, poly).collect()
+    assert {r["traj_id"] for r in rows} == {"1", "3"} and len(rows) == 4
+
+
+def test_segments_intersect_polygon_kernel_matches_expr(spark):
+    """Arrow fallback kernel and codegen expression agree bit-for-bit."""
+    from movingspark import kernels
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ax, ay = rng.uniform(0, 60, n), rng.uniform(0, 40, n)
+    bx, by = ax + rng.uniform(-30, 30, n), ay + rng.uniform(-30, 30, n)
+    poly = np.array([(30, 25), (50, 25), (50, 15), (30, 15)], float)
+    want = kernels.segments_intersect_polygon(ax, ay, bx, by, poly).tolist()
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(ax, ay, bx, by)],
+        "ax double, ay double, bx double, by double",
+    )
+    got = [
+        r["h"]
+        for r in df.select(
+            joins.seg_intersects_expr(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), poly).alias("h")
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_knn_join(spark):
     pts = rows_to_points(
         spark,

@@ -40,7 +40,8 @@ def run_one(cpus: int, n_docs: int, iters: int) -> dict:
             .appName(f"movingspark-scaling-{cpus}")
             .config("spark.sql.shuffle.partitions", str(cpus))
             .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g")),
+            tmpfs_scratch=True,
         )
         .getOrCreate()
     )

@@ -3,11 +3,16 @@ at a given sf dir and compare row count / schema / sorted values,
 approximating the driver's CORRECTNESS gate.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Set MOVINGSPARK_EXACT=1 to compare floats exactly (the driver's value
+hash is exact; the default atol=1e-9 only approximates it).
 """
 
 from __future__ import annotations
 
+import os
 import sys
+
+ATOL = 0.0 if os.environ.get("MOVINGSPARK_EXACT") == "1" else 1e-9
 
 import duckdb
 import numpy as np
@@ -48,14 +53,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
-            ok = np.isclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=1e-9).all()
+            ok = np.isclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=ATOL).all()
         else:
             ok = (av.fillna("<null>") == bv.fillna("<null>")).all() if av.dtype == object else av.equals(bv)
         if not ok:
             bad = None
             try:
                 if pd.api.types.is_float_dtype(av):
-                    m = ~np.isclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=1e-9)
+                    m = ~np.isclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=ATOL)
                 else:
                     m = ~(av.fillna("<null>") == bv.fillna("<null>"))
                 i = int(np.flatnonzero(m)[0])
@@ -81,7 +86,8 @@ def main():
             .appName("check-correctness")
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", "16g")
+            .config("spark.driver.memory", "16g"),
+            tmpfs_scratch=True,
         )
         .getOrCreate()
     )
