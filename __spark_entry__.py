@@ -482,6 +482,47 @@ SELECT DISTINCT traj_id FROM seg WHERE {_seg_intersects_sql(POLY)}
 """
 
 
+def q_traj_point_distance(spark, sf_dir):
+    """Trajectory-line -> fixed-point min distance (measure_distance_line
+    parity, geometry_utils.py:102-107): lag-window segments + codegen'd
+    clamp-projection distance + map-side min per trajectory."""
+    from movingspark import pairs
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return _round2(pairs.distance_to_point(pts, 90.0, 50.0), ["min_distance"])
+
+
+SQL_TRAJ_POINT_DISTANCE = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+seg AS (
+  SELECT traj_id,
+         COALESCE(LAG(x) OVER w, x) AS ax,
+         COALESCE(LAG(y) OVER w, y) AS ay,
+         x AS bx, y AS sy
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+proj AS (
+  SELECT traj_id, ax, ay, bx, sy,
+         (bx-ax) AS dx, (sy-ay) AS dy,
+         ((bx-ax)*(bx-ax) + (sy-ay)*(sy-ay)) AS len2
+  FROM seg
+),
+tt AS (
+  SELECT *,
+    LEAST(GREATEST(CASE WHEN len2 > 0
+        THEN ((90.0-ax)*dx + (50.0-ay)*dy) / (CASE WHEN len2 = 0 THEN 1.0 ELSE len2 END)
+        ELSE 0.0 END, 0.0), 1.0) AS tc
+  FROM proj
+),
+dd AS (
+  SELECT traj_id,
+    SQRT((90.0-(ax+tc*dx))*(90.0-(ax+tc*dx)) + (50.0-(ay+tc*dy))*(50.0-(ay+tc*dy))) AS d
+  FROM tt
+)
+SELECT traj_id, ROUND(ROUND(MIN(d), 9), {R}) AS min_distance FROM dd GROUP BY traj_id
+"""
+
+
 def q_knn(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     cents = spark.createDataFrame(KNN_CENTROIDS, "cluster_id string, cx double, cy double")
@@ -757,6 +798,65 @@ SELECT md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS band,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
 FROM mh GROUP BY 1 HAVING COUNT(*) > 1
 """
+
+
+N_BANDS, ROWS_PER_BAND = 8, 2
+
+
+def q_dedup_minhash_banded(spark, sf_dir):
+    """b x r banded MinHash LSH (text.minhash_band_pairs): the real
+    near-dup detector — recall 1-(1-J^r)^b ~ 0.9998 at J=0.8 with b=8,
+    r=2, vs J^4 ~ 0.41 for the single-band signature query above."""
+    from movingspark.text import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return minhash_band_pairs(
+        docs.repartition(n_part, "doc_id"), "doc_id", "text",
+        n_bands=N_BANDS, rows_per_band=ROWS_PER_BAND,
+    )
+
+
+def _minhash_banded_sql() -> str:
+    n_hash = N_BANDS * ROWS_PER_BAND
+    mins = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}' || ':' || s))) AS mh{h}"
+        for h in range(n_hash)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(0, GREATEST(len(words) - 3, 0) + 1),
+             i -> array_to_string(words[i+1: i+3], ' ')) AS shingles
+  FROM w
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band, b.key
+  FROM mh, LATERAL (VALUES {band_rows}) AS b(band, key)
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+"""
+
+
+SQL_DEDUP_MINHASH_BANDED = _minhash_banded_sql()
 
 
 def q_text_stats(spark, sf_dir):
@@ -1112,12 +1212,49 @@ SELECT doc_id, span."offset" AS "offset", span.media_ref
 FROM sp WHERE span.kind = 'media'
 """
 
+# payload = ascii sha256 hexdigest of media_ref repeated to 64 bytes
+# (media.synth_media_bytes); content_hash = md5(payload) — replicated
+# here with md5(VARCHAR) over the same ascii string.
+SQL_MEDIA_FEATURES = f"""
+WITH refs AS ({SQL_MEDIA_REFS})
+SELECT doc_id, "offset", media_ref,
+       CAST(64 AS BIGINT) AS n_bytes,
+       md5(sha256(media_ref)) AS content_hash
+FROM refs
+"""
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, e -> e * CAST(1.01 AS DOUBLE)) AS v
+  FROM base WHERE vec_id < 10
+),
+pr AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               GREATEST(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)), 1e-30),
+               6) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM pr WHERE cosine >= 0.999
+"""
+
 
 def q_stop_points(spark, sf_dir):
-    """X1/A11 stop detection on events trajectories (sequential kernel;
-    rows-only check — pinned-value parity lives in tests/test_stops.py)."""
+    """X1/A11 stop detection on events trajectories. The sequential
+    detector's (start,end) ranges are oracle-checked against a pinned
+    non-Spark kernel run; the median/min/max aggregation on top is
+    recomputed independently by DuckDB (tools/gen_pinned_oracles.py).
+    Medians are double-rounded: Spark percentile vs DuckDB quantile_cont
+    may interpolate with different ulp order."""
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
-    return stops.get_stop_points(pts, max_diameter=50.0, min_duration_s=7200.0)
+    out = stops.get_stop_points(pts, max_diameter=50.0, min_duration_s=7200.0)
+    return _round2(out, ["x", "y"])
 
 
 def q_generalize_dp(spark, sf_dir):
@@ -1149,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "intersecting_trajs": q_intersecting_trajs,
         "intersecting_trajs_line": q_intersecting_trajs_line,
+        "traj_point_distance": q_traj_point_distance,
         "knn": q_knn,
         "flows": q_flows,
         "visit_counts": q_visit_counts,
@@ -1158,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spatial_join": q_doc_spatial_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
         "text_stats": q_text_stats,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
@@ -1194,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
+        "traj_point_distance": SQL_TRAJ_POINT_DISTANCE,
         "knn": SQL_KNN,
         "flows": SQL_FLOWS,
         "visit_counts": SQL_VISIT_COUNTS,
@@ -1203,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_spatial_join": SQL_DOC_SPATIAL_JOIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "text_stats": SQL_TEXT_STATS,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
@@ -1212,7 +1353,25 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "traj_export": SQL_TRAJ_EXPORT,
-        # mcp / embedding_near_dups / media_features / stop_points /
-        # generalize_dp: sequential or Arrow-UDF ops with no SQL oracle —
-        # driver records rows-only; pinned-value parity lives in tests/.
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "media_features": SQL_MEDIA_FEATURES,
+        # mcp / stop_points / generalize_dp: sequential kernels with no
+        # closed-form SQL; their oracles are deterministic expected-value
+        # joins generated by tools/gen_pinned_oracles.py (see below).
+        **_pinned_oracles(),
     }
+
+
+def _pinned_oracles() -> dict[str, str]:
+    """Expected-output oracles for the sequential ops (Douglas-Peucker,
+    stop detector, convex hull), generated at sf0.01 by
+    tools/gen_pinned_oracles.py running the numpy kernels over the
+    parquet data WITHOUT Spark (pandas path). The driver's comparison
+    then checks that the distributed execution (grouping, ordering,
+    Arrow batching) reproduces the single-process kernel output."""
+    try:
+        from movingspark.pinned_oracles_sf001 import PINNED_SQL
+
+        return PINNED_SQL
+    except Exception:
+        return {}

@@ -137,12 +137,29 @@ def extract_significant_points(
 
 
 def cluster_significant_points(
-    sig: DataFrame, max_distance: float, latlon: bool = False
+    sig: DataFrame, max_distance: float, latlon: bool = False,
+    max_points: int = 5_000_000,
 ) -> DataFrame:
     """X17: insertion-order-dependent grid clustering. The reference
     processes points in collection order; we fix that order to
     (traj_id, seq) and run the (small) clustering driver-side, returning
-    a broadcastable centroid table (cluster_id, cx, cy, n)."""
+    a broadcastable centroid table (cluster_id, cx, cy, n).
+
+    max_points guards the driver: significant points are normally a tiny
+    fraction of the input, but a pathological input (dense turns) can
+    make them ~= all points and OOM the driver on collect(). The count
+    check costs one cheap aggregate; callers that truly need more raise
+    the cap explicitly (and should budget driver memory accordingly —
+    ~48 bytes/point) or pre-thin with extract_significant_points
+    parameters."""
+    n = sig.count()
+    if n > max_points:
+        raise ValueError(
+            f"{n} significant points exceed max_points={max_points}; the "
+            "insertion-order grid clustering runs driver-side (reference "
+            "point_clusterer.py semantics). Raise max_points deliberately "
+            "or tighten the significant-point thresholds."
+        )
     pts = [
         (r["x"], r["y"])
         for r in sig.orderBy("traj_id", "seq").select("x", "y").collect()

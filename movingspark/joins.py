@@ -41,12 +41,38 @@ def with_salt(df: DataFrame, n_salt: int, name: str = "salt") -> DataFrame:
     return df.withColumn(name, (F.rand(seed=42) * n_salt).cast("int"))
 
 
+def _norm_poly(verts):
+    """Normalize a polygon spec to (outer_ring, holes): accepts a plain
+    vertex list [(x,y),...] or a holed spec (outer, [hole_ring, ...])."""
+    if (
+        isinstance(verts, tuple)
+        and len(verts) == 2
+        and np.asarray(verts[0], dtype=object).ndim >= 2
+    ):
+        outer, holes = verts
+        return np.asarray(outer, float), [np.asarray(h, float) for h in holes or []]
+    return np.asarray(verts, float), []
+
+
 def cover_to_df(spark: SparkSession, polygons, res: int, bounds=cells.WORLD) -> DataFrame:
-    """polygons: iterable of (poly_id, vertices ndarray). Driver-side
-    cover -> small DataFrame (cell, poly_id, full) to broadcast."""
+    """polygons: iterable of (poly_id, vertices ndarray | (outer, holes)).
+    Driver-side cover -> small DataFrame (cell, poly_id, full) to
+    broadcast. With holes, cells whose bbox touches a hole's bbox are
+    conservatively demoted from full to boundary (they refine exactly)."""
     rows = []
     for poly_id, verts in polygons:
-        cell_ids, full = cells.polygon_cover(np.asarray(verts, float), res, bounds)
+        outer, holes = _norm_poly(verts)
+        cell_ids, full = cells.polygon_cover(outer, res, bounds)
+        if holes:
+            cb = cells.cell_bounds_np(cell_ids, res, bounds)
+            for hole in holes:
+                hminx, hminy = hole.min(axis=0)
+                hmaxx, hmaxy = hole.max(axis=0)
+                touches = (
+                    (cb[:, 0] <= hmaxx) & (cb[:, 2] >= hminx)
+                    & (cb[:, 1] <= hmaxy) & (cb[:, 3] >= hminy)
+                )
+                full = full & ~touches
         for c, f in zip(cell_ids.tolist(), full.tolist()):
             rows.append((int(c), str(poly_id), bool(f)))
     return spark.createDataFrame(rows or [], "cell long, poly_id string, full boolean")
@@ -58,21 +84,18 @@ def cover_to_df(spark: SparkSession, polygons, res: int, bounds=cells.WORLD) -> 
 _PIP_EXPR_MAX_VERTS = 256
 
 
-def pip_expr(px, py, poly) -> F.Column:
-    """Generated-SQL ray-cast point-in-polygon predicate — the exact
-    arithmetic of kernels.point_in_polygon (even-odd rule + on-edge
-    tolerance, boundary counts as inside) unrolled over the driver-known
-    vertex list into a codegen'd column expression. IEEE float64 ops in
-    the same order as the numpy kernel => bit-identical verdicts."""
-    poly = np.asarray(poly, dtype=np.float64)
-    if np.array_equal(poly[0], poly[-1]):
-        poly = poly[:-1]
+def _pip_ring_expr(px, py, ring) -> tuple:
+    """One ring's even-odd ray cast as (inside, on_edge) codegen'd
+    column expressions — exact arithmetic of kernels._ray_cast_ring."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
     inside = F.lit(False)
     on_edge = F.lit(False)
-    k = len(poly)
+    k = len(ring)
     for i in range(k):
-        xa, ya = float(poly[i, 0]), float(poly[i, 1])
-        xb, yb = float(poly[(i + 1) % k, 0]), float(poly[(i + 1) % k, 1])
+        xa, ya = float(ring[i, 0]), float(ring[i, 1])
+        xb, yb = float(ring[(i + 1) % k, 0]), float(ring[(i + 1) % k, 1])
         cond = (F.lit(ya) > py) != (F.lit(yb) > py)
         denom = (yb - ya) if yb != ya else 1.0
         xint = F.lit(xa) + ((py - F.lit(ya)) * F.lit(xb - xa)) / F.lit(denom)
@@ -86,6 +109,23 @@ def pip_expr(px, py, poly) -> F.Column:
             & (py <= F.lit(max(ya, yb) + 1e-12))
         )
         on_edge = on_edge | within
+    return inside, on_edge
+
+
+def pip_expr(px, py, poly, holes=None) -> F.Column:
+    """Generated-SQL ray-cast point-in-polygon predicate — the exact
+    arithmetic of kernels.point_in_polygon (even-odd rule + on-edge
+    tolerance, boundary counts as inside) unrolled over the driver-known
+    vertex list into a codegen'd column expression. IEEE float64 ops in
+    the same order as the numpy kernel => bit-identical verdicts.
+
+    holes: optional interior rings (shapely interiors) — crossing parity
+    XORs over every ring, hole boundaries still count as inside."""
+    inside, on_edge = _pip_ring_expr(px, py, poly)
+    for hole in holes or []:
+        h_in, h_edge = _pip_ring_expr(px, py, hole)
+        inside = inside != h_in
+        on_edge = on_edge | h_edge
     return inside | on_edge
 
 
@@ -107,7 +147,7 @@ def point_in_polygon_join(
     Arrow-batched numpy kernel (interior cells still skip it).
     """
     spark = df.sparkSession
-    poly_map = {str(pid): np.asarray(v, float) for pid, v in polygons}
+    poly_map = {str(pid): _norm_poly(v) for pid, v in polygons}
     cover = cover_to_df(spark, polygons, res, bounds)
 
     pts = with_cell(df, res, bounds, cols, "__cell")
@@ -115,12 +155,12 @@ def point_in_polygon_join(
         F.broadcast(cover), on=F.col("__cell") == cover["cell"], how="inner"
     ).drop("cell")
 
-    n_verts = sum(len(v) for v in poly_map.values())
+    n_verts = sum(len(outer) + sum(len(h) for h in holes) for outer, holes in poly_map.values())
     if n_verts <= _PIP_EXPR_MAX_VERTS:
         # single-pass JVM refine: CASE over poly_id -> unrolled ray-cast
         pred = None
-        for pid, verts in poly_map.items():
-            hit = pip_expr(F.col(cols.x), F.col(cols.y), verts)
+        for pid, (outer, holes) in poly_map.items():
+            hit = pip_expr(F.col(cols.x), F.col(cols.y), outer, holes)
             branch = (F.col("poly_id") == F.lit(pid)) & hit
             pred = branch if pred is None else (pred | branch)
         return joined.filter(F.col("full") | pred).drop("full", "__cell")
@@ -130,8 +170,9 @@ def point_in_polygon_join(
         out = np.zeros(len(px), dtype=bool)
         for p in pid.unique():
             m = (pid == p).to_numpy()
+            outer, holes = poly_map[p]
             out[m] = kernels.point_in_polygon(
-                px.to_numpy(float)[m], py.to_numpy(float)[m], poly_map[p]
+                px.to_numpy(float)[m], py.to_numpy(float)[m], outer, holes
             )
         return pd.Series(out)
 

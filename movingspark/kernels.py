@@ -305,12 +305,8 @@ def hausdorff(a: np.ndarray, b: np.ndarray) -> float:
 # --------------------------------------------------------------------------
 
 
-def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Vectorized ray-casting point-in-polygon (boundary counts as inside
-    via the even-odd rule with on-edge tolerance). poly is (k,2), closed
-    or open ring. Backs overlay.py:155-168 (df.intersects(polygon))."""
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
+def _ray_cast_ring(px: np.ndarray, py: np.ndarray, poly: np.ndarray):
+    """Even-odd ray cast against ONE ring -> (inside, on_edge) masks."""
     poly = np.asarray(poly, dtype=np.float64)
     if np.array_equal(poly[0], poly[-1]):
         poly = poly[:-1]
@@ -337,7 +333,110 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nda
             & (py <= np.maximum(ya, yb) + 1e-12)
         )
         on_edge |= within
+    return inside, on_edge
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray, holes=None) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon (boundary counts as inside
+    via the even-odd rule with on-edge tolerance). poly is (k,2), closed
+    or open ring. Backs overlay.py:155-168 (df.intersects(polygon)).
+
+    holes: optional list of interior rings (shapely interiors). The
+    even-odd rule extends naturally: XOR the crossing parity over every
+    ring, so a point inside a hole flips back to outside; a point ON a
+    hole boundary still counts as inside (shapely semantics)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside, on_edge = _ray_cast_ring(px, py, poly)
+    for hole in holes or []:
+        h_in, h_edge = _ray_cast_ring(px, py, hole)
+        inside ^= h_in
+        on_edge |= h_edge
     return inside | on_edge
+
+
+def point_segment_dist(px, py, ax, ay, bx, by):
+    """Vectorized distance from point(s) (px,py) to segment(s) (a->b):
+    clamp the projection parameter to [0,1], measure to the closest
+    point. Degenerate segments (a==b) fall back to point distance."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(len2 > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(len2 == 0, 1.0, len2), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+
+
+def point_polyline_dist(px, py, line: np.ndarray):
+    """Vectorized min distance from point(s) to a polyline's segments
+    (single-vertex polylines degrade to point distance)."""
+    line = np.asarray(line, dtype=np.float64)
+    if len(line) == 1:
+        return np.sqrt((np.asarray(px, float) - line[0, 0]) ** 2 + (np.asarray(py, float) - line[0, 1]) ** 2)
+    best = None
+    for i in range(len(line) - 1):
+        d = point_segment_dist(px, py, line[i, 0], line[i, 1], line[i + 1, 0], line[i + 1, 1])
+        best = d if best is None else np.minimum(best, d)
+    return best
+
+
+def _segments_cross(a0, a1, b0, b1) -> bool:
+    """Do segments a0->a1 and b0->b1 intersect (touching counts)?"""
+    ax, ay = a0
+    bx, by = a1
+    px, py = b0
+    qx, qy = b1
+    d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    d3 = (qx - px) * (ay - py) - (qy - py) * (ax - px)
+    d4 = (qx - px) * (by - py) - (qy - py) * (bx - px)
+    if d1 * d2 <= 0 and d3 * d4 <= 0:
+        # bbox overlap rejects collinear-but-disjoint
+        return (
+            min(ax, bx) <= max(px, qx)
+            and max(ax, bx) >= min(px, qx)
+            and min(ay, by) <= max(py, qy)
+            and max(ay, by) >= min(py, qy)
+        )
+    return False
+
+
+def polyline_min_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Minimum distance between two polylines (shapely
+    LineString.distance semantics — 0 when they intersect; otherwise the
+    minimum is attained at a vertex of one line against the other).
+    Backs Trajectory.distance (reference trajectory.py:1548-1586)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    for i in range(max(1, len(a) - 1)):
+        i1 = min(i + 1, len(a) - 1)
+        for j in range(max(1, len(b) - 1)):
+            j1 = min(j + 1, len(b) - 1)
+            if _segments_cross(a[i], a[i1], b[j], b[j1]):
+                return 0.0
+    d1 = point_polyline_dist(a[:, 0], a[:, 1], b).min()
+    d2 = point_polyline_dist(b[:, 0], b[:, 1], a).min()
+    return float(min(d1, d2))
+
+
+def discrete_hausdorff_line(a: np.ndarray, b: np.ndarray) -> float:
+    """GEOS-style discrete Hausdorff distance between two polylines:
+    max over the VERTICES of each line of the distance to the other
+    LINE (vertex-to-segment, not vertex-to-vertex — matching shapely's
+    hausdorff_distance). Backs Trajectory.hausdorff_distance
+    (reference trajectory.py:1587-1627)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d1 = point_polyline_dist(a[:, 0], a[:, 1], b).max()
+    d2 = point_polyline_dist(b[:, 0], b[:, 1], a).max()
+    return float(max(d1, d2))
 
 
 def segments_intersect_polygon(ax, ay, bx, by, poly: np.ndarray) -> np.ndarray:

@@ -41,14 +41,17 @@ def media_refs_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def synth_media_bytes(media: DataFrame, n_bytes: int = 64) -> DataFrame:
-    """Deterministic fake payloads for tests: bytes = sha-derived from
-    the media_ref (stands in for an object-store fetch)."""
+    """Deterministic fake payloads for tests: ASCII bytes of the
+    sha256 HEXDIGEST of the media_ref, repeated to n_bytes (stands in
+    for an object-store fetch). ASCII (not raw digest) on purpose: the
+    DuckDB oracle can then reproduce the downstream content_hash with
+    md5(VARCHAR) — crypto functions there accept only strings."""
 
     @F.pandas_udf(T.BinaryType())
     def fetch(ref: pd.Series) -> pd.Series:
         out = []
         for r in ref:
-            h = hashlib.sha256(r.encode()).digest()
+            h = hashlib.sha256(r.encode()).hexdigest().encode()
             out.append((h * (n_bytes // len(h) + 1))[:n_bytes])
         return pd.Series(out)
 

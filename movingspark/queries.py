@@ -87,6 +87,77 @@ def is_valid(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
     )
 
 
+# pandas.DataFrame.agg name -> Spark aggregate (to_traj_gdf agg= support)
+_AGG_FNS = {
+    "mean": F.mean,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": F.count,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "std": F.stddev_samp,   # pandas default ddof=1
+    "var": F.var_samp,
+    "nunique": F.count_distinct,
+}
+
+
+def to_traj_gdf(
+    df: DataFrame,
+    wkt: bool = False,
+    agg: dict | None = None,
+    latlon: bool = False,
+    units=None,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """General to_traj_gdf (trajectory.py:661-713): one row per
+    trajectory with (traj_id, start_t, end_t, length, direction), plus
+    the LINESTRING M wkt when wkt=True, plus `{col}_{mode}` columns for
+    agg={"col": "mode" | "qNN" | <pandas agg name> | [list of those]}.
+
+    - "mode": most frequent value; ties resolve to the smallest value
+      (pandas Series.mode()[0] semantics) via min_by over (−count, value)
+      — two map-side-combinable aggregations, no window sort.
+    - "qNN": linear-interpolated quantile NN/100 (pandas default), via
+      F.percentile.
+    - plain names: mean/min/max/sum/count/median/std/var/nunique.
+    All aggregates for one call run in ONE extra groupBy pass; each
+    distinct mode column adds one counting pass. Everything joins back
+    on traj_id (AQE broadcasts the one-row-per-traj sides)."""
+    base = traj_summary(df, latlon, units, cols).select(
+        cols.traj_id, "start_t", "end_t", "length", "direction"
+    )
+    out = base
+    if wkt:
+        out = out.join(to_linestringm_wkt(df, cols), cols.traj_id)
+    if agg:
+        exprs = []
+        mode_cols = []
+        for col, modes in agg.items():
+            if not isinstance(modes, list):
+                modes = [modes]
+            for m in modes:
+                name = f"{col}_{m}"
+                if m == "mode":
+                    mode_cols.append(col)
+                elif m[0] == "q" and m[1:].isdigit() and int(m[1:]) < 100:
+                    exprs.append(F.percentile(col, F.lit(int(m[1:]) / 100)).alias(name))
+                elif m in _AGG_FNS:
+                    exprs.append(_AGG_FNS[m](col).alias(name))
+                else:
+                    raise ValueError(f"unsupported agg mode {m!r} for column {col!r}")
+        if exprs:
+            out = out.join(df.groupBy(cols.traj_id).agg(*exprs), cols.traj_id)
+        for col in dict.fromkeys(mode_cols):
+            counts = df.groupBy(cols.traj_id, col).agg(F.count("*").alias("__c"))
+            modes_df = counts.groupBy(cols.traj_id).agg(
+                F.min_by(F.col(col), F.struct((-F.col("__c")).alias("nc"), F.col(col))).alias(
+                    f"{col}_mode"
+                )
+            )
+            out = out.join(modes_df, cols.traj_id)
+    return out
+
+
 def get_mcp(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
     """A9 (trajectory.py:1731-1744): convex hull vertices per trajectory,
     CCW order, as an array of (x, y) structs. Monotone-chain numpy kernel
@@ -227,21 +298,62 @@ def to_linestringm_wkt(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
     )
 
 
-def to_mf_json(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
-    """S4 (io.py:12-110): per-trajectory OGC Moving Features JSON feature
-    with MovingPoint temporalGeometry."""
-    pts = F.array_sort(F.collect_list(F.struct(cols.t, cols.x, cols.y)))
-    per = df.groupBy(cols.traj_id).agg(pts.alias("__pts"))
-    feature = F.to_json(
-        F.struct(
-            F.lit("Feature").alias("type"),
-            F.struct(
-                F.lit("MovingPoint").alias("type"),
-                F.transform("__pts", lambda s: F.array(s[cols.x], s[cols.y])).alias("coordinates"),
-                F.transform("__pts", lambda s: F.date_format(s[cols.t], "yyyy-MM-dd'T'HH:mm:ss")).alias("datetimes"),
-                F.lit("Linear").alias("interpolation"),
-            ).alias("temporalGeometry"),
-            F.struct(F.col(cols.traj_id).alias("traj_id")).alias("properties"),
-        )
+def to_mf_json(
+    df: DataFrame,
+    cols: PointCols = TRAJ_COLS,
+    temporal_columns: list | None = None,
+    temporal_columns_static_fields: dict | None = None,
+    property_columns: list | None = None,
+) -> DataFrame:
+    """S4 (io.py:12-110 gdf_to_mf_json): per-trajectory OGC Moving
+    Features JSON feature with MovingPoint temporalGeometry.
+
+    temporal_columns: point-level columns emitted as MF-JSON
+    temporalProperties (one group sharing the geometry's datetimes, each
+    column as {"values": [...]} — io.py:139-154). Static fields from
+    temporal_columns_static_fields[col] are attached to that column's
+    object (e.g. {"form": "MPH", "type": "Measure"}). property_columns:
+    per-trajectory static columns copied into feature properties (the
+    reference takes the group's first row; here min() for determinism).
+    The whole feature is one codegen'd to_json projection — no Python."""
+    temporal_columns = temporal_columns or []
+    static = temporal_columns_static_fields or {}
+    property_columns = property_columns or []
+
+    pts = F.array_sort(
+        F.collect_list(F.struct(cols.t, cols.x, cols.y, *[F.col(c) for c in temporal_columns]))
     )
-    return per.select(cols.traj_id, feature.alias("mf_json"))
+    aggs = [pts.alias("__pts")] + [F.min(c).alias(f"__p_{c}") for c in property_columns]
+    per = df.groupBy(cols.traj_id).agg(*aggs)
+
+    datetimes = F.transform("__pts", lambda s: F.date_format(s[cols.t], "yyyy-MM-dd'T'HH:mm:ss"))
+    fields = [
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("MovingPoint").alias("type"),
+            F.transform("__pts", lambda s: F.array(s[cols.x], s[cols.y])).alias("coordinates"),
+            datetimes.alias("datetimes"),
+            F.lit("Linear").alias("interpolation"),
+        ).alias("temporalGeometry"),
+        F.struct(
+            F.col(cols.traj_id).alias("traj_id"),
+            *[F.col(f"__p_{c}").alias(c) for c in property_columns],
+        ).alias("properties"),
+    ]
+    if temporal_columns:
+        group = F.struct(
+            datetimes.alias("datetimes"),
+            # NB: the lambda must take exactly one arg — a second arg
+            # (even a default) makes pyspark pass the array index to it.
+            # transform() invokes the lambda eagerly, so the loop var is
+            # bound correctly without a default-arg closure trick.
+            *[
+                F.struct(
+                    F.transform("__pts", lambda s: s[c]).alias("values"),
+                    *[F.lit(v).alias(k) for k, v in static.get(c, {}).items()],
+                ).alias(c)
+                for c in temporal_columns
+            ],
+        )
+        fields.append(F.array(group).alias("temporalProperties"))
+    return per.select(cols.traj_id, F.to_json(F.struct(*fields)).alias("mf_json"))

@@ -158,20 +158,61 @@ def simhash_bucket(corpus: DataFrame, n_planes: int = 8, vec_col: str = "embeddi
     return corpus.withColumn("lsh_bucket", bucket(F.col(vec_col)))
 
 
-def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95, n_planes: int = 8,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH bucket join (candidates share
-    a bucket) + exact cosine refinement — no O(n^2) cross join."""
-    b = simhash_bucket(corpus, n_planes, vec_col).select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), "lsh_bucket"
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95, n_planes: int = 16,
+                        n_bands: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs: multi-band sign-LSH bucket join +
+    exact cosine refinement — no O(n^2) cross join.
+
+    b bands x r planes: more planes per band shrink each bucket
+    (2^r buckets per band, so the in-bucket self-join is O((n/2^r)^2)
+    instead of the old single-band O((n/256)^2) quadratic blowup), and
+    multiple bands restore the recall that extra planes cost — at
+    cos=0.999 (angle 2.6 deg) one 16-plane band catches ~0.8 of pairs,
+    4 bands catch 1-(1-0.8)^4 ~ 0.998; exact duplicates always collide
+    in every band. Candidates = pairs sharing ANY band bucket."""
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    d = first["d"]
+    # deterministic planes, distinct per band: sin-hash over a global
+    # plane index (band * n_planes + plane)
+    P = np.sin(
+        (np.arange(n_bands * n_planes)[:, None]) * 7919 + np.arange(d)[None, :] * 104729
+    ).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_buckets(v: pd.Series) -> pd.Series:
+        M = _as_matrix(v)
+        signs = (M @ P.T) > 0  # (n, n_bands*n_planes)
+        out = []
+        for row in signs:
+            keys = []
+            for band in range(n_bands):
+                bits = row[band * n_planes : (band + 1) * n_planes]
+                key = 0
+                for bit in bits:
+                    key = (key << 1) | int(bit)
+                # disjoint key spaces per band
+                keys.append((band << n_planes) | key)
+            out.append(keys)
+        return pd.Series(out)
+
+    keyed = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        F.explode(band_buckets(F.col(vec_col))).alias("bucket"),
     )
-    a = b.alias("a")
-    c = b.alias("c")
-    pairs = a.join(
-        c, (F.col("a.lsh_bucket") == F.col("c.lsh_bucket")) & (F.col("a.doc") < F.col("c.doc"))
-    ).select(
-        F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"),
-        F.col("a.v").alias("va"), F.col("c.v").alias("vb"),
+    a = keyed.alias("a")
+    c = keyed.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.doc") < F.col("c.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"),
+            F.col("a.v").alias("va"), F.col("c.v").alias("vb"),
+        )
+        # dedup across bands on the id pair (va/vb identical per pair,
+        # so first() is deterministic — cheaper than distinct on arrays)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
     )
 
     @F.pandas_udf(T.DoubleType())

@@ -13,6 +13,8 @@ A `parent` column keeps the original trajectory id.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -119,12 +121,34 @@ def split_temporally(
     cols: PointCols = TRAJ_COLS,
 ) -> DataFrame:
     """X3 (trajectory_splitter.py:100-153): bucket rows by calendar
-    period (hour/day/month/year); piece index enumerates the NON-EMPTY
-    buckets of each trajectory; each non-last piece receives the next
-    piece's first row before the 2-row validity check."""
-    if mode not in {"hour", "day", "month", "year"}:
-        raise ValueError(f"unsupported temporal split mode: {mode!r}")
-    bucket = F.date_trunc(mode, F.col(cols.t))
+    period (hour/day/month/year) OR any raw fixed-frequency alias the
+    reference forwards to pd.Grouper(freq=...) — e.g. "2h", "15min",
+    "30s" (trajectory_splitter.py:117-120). Raw frequencies replicate
+    the Grouper default origin='start_day': bins are anchored at
+    midnight of each trajectory's first observation day (a per-traj
+    window min — no extra shuffle beyond the splitter's own window).
+    Piece index enumerates the NON-EMPTY buckets of each trajectory;
+    each non-last piece receives the next piece's first row before the
+    2-row validity check."""
+    if mode in {"hour", "day", "month", "year"}:
+        bucket = F.date_trunc(mode, F.col(cols.t))
+    else:
+        m = re.fullmatch(r"(\d*)\s*(s|sec|second|min|t|h|hour|d)", mode.strip(), re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                f"unsupported temporal split mode: {mode!r} "
+                "(named: hour/day/month/year; raw tick aliases: e.g. '2h', '15min', '30s')"
+            )
+        n = int(m.group(1) or 1)
+        unit_us = {
+            "s": 1_000_000, "sec": 1_000_000, "second": 1_000_000,
+            "min": 60_000_000, "t": 60_000_000,
+            "h": 3_600_000_000, "hour": 3_600_000_000,
+            "d": 86_400_000_000,
+        }[m.group(2).lower()]
+        freq_us = n * unit_us
+        origin = F.unix_micros(F.date_trunc("day", F.min(cols.t).over(Window.partitionBy(cols.traj_id))))
+        bucket = F.floor((F.unix_micros(F.col(cols.t)) - origin) / F.lit(freq_us))
     base = df.withColumn("__bucket", bucket)
     idx = F.dense_rank().over(Window.partitionBy(cols.traj_id).orderBy("__bucket")) - 1
     base = base.withColumn("__piece", idx).drop("__bucket")

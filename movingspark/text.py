@@ -120,11 +120,29 @@ def simhash_expr(text: Column, bits: int = 16) -> Column:
     return out
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles -> self-join on shingle -> count common shingles per
     pair -> Jaccard = common / (|A| + |B| - common). Shuffles on shingle
-    hash — pair candidates only materialize for docs sharing shingles."""
+    hash — pair candidates only materialize for docs sharing shingles.
+
+    max_doc_freq: corpus-scale guard. Shingles appearing in more than
+    this many documents (stopword runs: "of the and") are EXCLUDED from
+    the inverted index, because a shingle with DF=d contributes d^2/2
+    candidate rows — quadratic blowup on exactly the shingles that carry
+    no near-dup signal. Candidate pairs then come from the capped index,
+    and the Jaccard is recomputed EXACTLY from the full shingle arrays
+    (array_intersect on the candidate pairs only), so reported scores
+    are unchanged; only pairs whose overlap is exclusively hot shingles
+    can be missed (documented recall trade — such pairs are far below
+    any near-dup threshold in practice)."""
     words = F.split(lower_ascii(F.col(text_col)), "\\s+")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
@@ -133,13 +151,39 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
     base = df.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
     sizes = base.select("doc", F.size("sh").alias("n_sh"))
     ex = base.select("doc", F.explode("sh").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+
+    if max_doc_freq is not None:
+        cold = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        ex_idx = ex.join(cold, "shingle", "left_semi")
+        a = ex_idx.alias("a")
+        b = ex_idx.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        ba = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("__sha"))
+        bb = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("__shb"))
+        common = (
+            cand.join(ba, "doc_a")
+            .join(bb, "doc_b")
+            .select(
+                "doc_a", "doc_b", F.size(F.array_intersect("__sha", "__shb")).alias("common")
+            )
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("common"))
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = (
@@ -148,3 +192,64 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """b x r banded MinHash LSH candidate pairs (the real near-dup
+    detector; a single band of k minhashes has recall J^k — 0.41 at
+    J=0.8 for k=4 — while b bands of r rows give 1-(1-J^r)^b — 0.9998
+    at b=8, r=2). Each of the b*r hash families takes a map-side partial
+    min over the exploded shingles; docs sharing ANY band bucket become
+    one candidate pair (exploded band join, distinct across bands).
+    Output: (doc_a, doc_b) candidates for exact verification."""
+    n_hash = n_bands * rows_per_band
+    words = F.split(lower_ascii(F.col(text_col)), "\\s+")
+    base = df.select(F.col(id_col).alias("doc"), words.alias("words"))
+    ex = base.select(
+        "doc",
+        "words",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("words") - shingle_n, F.lit(0)))
+        ).alias("k"),
+    ).select("doc", F.concat_ws(" ", F.slice("words", F.col("k") + 1, shingle_n)).alias("s"))
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(h)), F.lit(":"), F.col("s")))).alias(f"mh{h}")
+            for h in range(n_hash)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sig.select("doc", F.explode(bands).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

@@ -97,6 +97,75 @@ def test_embedding_near_dups(spark):
     assert got == {(1, 2)}
 
 
+def test_minhash_banded_recovers_08_jaccard(spark):
+    """Planted near-dups at shingle-Jaccard ~0.8 must come out of the
+    banded detector (b=8, r=2 -> expected recall 1-(1-J^2)^8 ~ 0.9998);
+    unrelated docs must not pair."""
+    import random
+
+    from movingspark.text import minhash_band_pairs, ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(6):
+        words = [vocab[rng.randrange(500)] for _ in range(120)]
+        rows.append((f"orig{d}", " ".join(words)))
+        # near-dup: perturb ~10% of words -> shingle Jaccard ~0.75-0.85
+        dup = list(words)
+        for _ in range(12):
+            dup[rng.randrange(120)] = vocab[rng.randrange(500)]
+        rows.append((f"dup{d}", " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(docs, "doc_id", "text").collect()}
+    want = {tuple(sorted((f"orig{d}", f"dup{d}"))) for d in range(6)}
+    assert want <= got  # every planted pair recovered
+    # candidates are a small superset, not all-pairs
+    assert len(got) < 6 * 11
+    # exact verification agrees the planted pairs really are near-dups
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert want <= verified
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """max_doc_freq drops corpus-hot shingles from the inverted index but
+    reported Jaccard stays EXACT (recomputed from full shingle sets)."""
+    from movingspark.text import ngram_jaccard_pairs
+
+    # 'of the and' appears in every doc (hot); docs 1/2 share real content
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta of the and"),
+        ("d2", "alpha beta gamma delta epsilon eta of the and"),
+        ("d3", "one two three four five six of the and"),
+        ("d4", "seven eight nine ten eleven twelve of the and"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, max_doc_freq=2)
+    fm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()}
+    cm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert ("d1", "d2") in cm
+    assert cm[("d1", "d2")] == fm[("d1", "d2")]  # scores identical
+    # pairs that only shared hot shingles are pruned by the cap
+    assert all(p[0] in ("d1",) or "d3" not in p for p in cm)
+
+
+def test_embedding_near_dups_multiband_planted(spark):
+    """Multi-band LSH: planted scaled copies in a random corpus are all
+    recovered (scale preserves every projection sign, so copies collide
+    in every band)."""
+    rng = np.random.default_rng(3)
+    rows = [(int(i), rng.normal(size=16).tolist()) for i in range(60)]
+    rows += [(1000 + i, (np.array(rows[i][1]) * 1.02).tolist()) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dups(corpus, threshold=0.999)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert {(i, 1000 + i) for i in range(8)} <= got
+
+
 def test_media_pipeline(spark):
     docs = ingest.synth_interleaved_docs(spark, 20)
     refs = media.media_refs_from_docs(docs)

@@ -4,6 +4,7 @@ synthesized to the same OGC MF-JSON shapes as the reference's test files)."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from movingspark import io as mfio
 from movingspark import queries as q
@@ -103,3 +104,44 @@ def test_mf_json_writer_roundtrip(spark):
 
     parsed = json.loads(rows["tr2"])
     assert parsed["temporalGeometry"]["coordinates"] == [[5.0, 5.0], [6.0, 6.0]]
+
+
+def test_mf_json_writer_temporal_properties_roundtrip(spark):
+    """Writer temporalProperties parity (reference io.py:12-110 with
+    temporal_columns + temporal_columns_static_fields; mirrors the
+    test_io.py gdf_to_mf_json writer cases): values group shares the
+    geometry datetimes, static fields attach to the column object, and
+    the reader recovers the column exactly."""
+    import json
+
+    df = mfio.read_mf_json(spark, MOVINGPOINT, traj_id_property="id")
+    # MOVINGPOINT carries a temporal 'speed' column -> write it back out
+    out = q.to_mf_json(
+        df,
+        temporal_columns=["speed"],
+        temporal_columns_static_fields={"speed": {"type": "Measure", "form": "MPH"}},
+    )
+    feature = json.loads(out.collect()[0]["mf_json"])
+    tp = feature["temporalProperties"]
+    assert len(tp) == 1
+    group = tp[0]
+    assert group["datetimes"] == feature["temporalGeometry"]["datetimes"]
+    assert group["speed"]["values"] == [1.0, 2.0]
+    assert group["speed"]["type"] == "Measure" and group["speed"]["form"] == "MPH"
+    # round-trip: reader reattaches the temporal column per timestamp
+    back = mfio.read_mf_json(spark, feature, traj_id_property="traj_id")
+    got = sorted((r["t"], r["speed"]) for r in back.collect())
+    want = sorted((r["t"], r["speed"]) for r in df.collect())
+    assert [v for _, v in got] == [v for _, v in want]
+
+
+def test_mf_json_writer_property_columns(spark):
+    """Static per-trajectory properties land in feature properties
+    (reference io.py:64-75: non-temporal columns become properties)."""
+    import json
+
+    df = mfio.read_mf_json(spark, COLLECTION, traj_id_property="name")
+    df = df.withColumn("vehicle", F.concat(F.lit("veh-"), "traj_id"))
+    out = q.to_mf_json(df, property_columns=["vehicle"])
+    feature = json.loads({r["traj_id"]: r["mf_json"] for r in out.collect()}["tr1"])
+    assert feature["properties"]["vehicle"] == "veh-tr1"

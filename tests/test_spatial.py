@@ -79,6 +79,35 @@ def test_intersecting_traj_ids(spark):
     assert ids == {"1"}
 
 
+def test_point_in_polygon_with_holes(spark):
+    """Shapely interiors semantics: inside-the-hole is OUTSIDE the
+    polygon, hole boundary still counts as inside; both the codegen'd
+    expression path and the numpy kernel agree."""
+    from movingspark import kernels
+
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    hole = [(4, 4), (6, 4), (6, 6), (4, 6)]
+    # kernel
+    px = np.array([5.0, 2.0, 4.0, 11.0])   # hole-center, annulus, hole-edge, outside
+    py = np.array([5.0, 2.0, 5.0, 5.0])
+    got = kernels.point_in_polygon(px, py, np.array(outer, float), [np.array(hole, float)]).tolist()
+    assert got == [False, True, True, False]
+    # distributed join with a holed polygon spec
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 5, 5),    # in the hole -> excluded
+            (2, "2020-01-01T00:00:00", 2, 2),    # annulus -> match
+            (3, "2020-01-01T00:00:00", 4, 5),    # on hole boundary -> match
+            (4, "2020-01-01T00:00:00", 11, 5),   # outside
+        ],
+    )
+    hits = joins.point_in_polygon_join(
+        df, [("donut", (outer, [hole]))], res=5, bounds=(0.0, 0.0, 16.0, 16.0)
+    )
+    assert {r["traj_id"] for r in hits.collect()} == {"2", "3"}
+
+
 def test_intersecting_traj_ids_line(spark):
     """Line semantics (trajectory.py:1533-1546, overlay.py:86-91; mirrors
     test_trajectory_collection.py:179-237): traj 1 CROSSES the polygon

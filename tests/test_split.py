@@ -88,6 +88,49 @@ def test_temporal_split_daybreak(spark):
     assert len(got["1_1"]) == 2
 
 
+def test_temporal_split_raw_freq_2h(spark):
+    # test_trajectory_splitter.py:115-125 (test_split_by_2H): raw pandas
+    # tick alias "2h" forwarded like pd.Grouper(freq="2h"); boundary row
+    # duplicated into the earlier piece
+    df = rows_to_points(
+        spark,
+        [
+            (1, "1970-01-01T00:00:00", 0, 0),
+            (1, "1970-01-01T00:00:01", 0, 0),
+            (1, "1970-01-01T02:00:00", 0, 0),
+            (1, "1970-01-01T02:00:01", 0, 0),
+        ],
+    )
+    got = pieces(split.split_temporally(df, "2h"))
+    assert set(got) == {"1_0", "1_1"}
+    assert len(got["1_0"]) == 3 and len(got["1_1"]) == 2
+
+
+def test_temporal_split_raw_freq_origin_start_day(spark):
+    # pd.Grouper(origin='start_day'): bins anchor at midnight of the
+    # trajectory's FIRST observation day, not at the first observation —
+    # points at 01:30 and 02:30 fall in different 2h bins (00-02, 02-04)
+    df = rows_to_points(
+        spark,
+        [
+            (1, "1970-01-05T01:30:00", 0, 0),
+            (1, "1970-01-05T01:45:00", 0, 0),
+            (1, "1970-01-05T02:30:00", 0, 0),
+            (1, "1970-01-05T02:45:00", 0, 0),
+        ],
+    )
+    got = pieces(split.split_temporally(df, "2h"))
+    assert set(got) == {"1_0", "1_1"}
+
+
+def test_temporal_split_rejects_unknown_mode(spark):
+    import pytest
+
+    df = rows_to_points(spark, [(1, "1970-01-01T00:00:00", 0, 0)])
+    with pytest.raises(ValueError):
+        split.split_temporally(df, "fortnight")
+
+
 def test_temporal_split_ignores_single_node_segments(spark):
     # test_trajectory_splitter.py:79-86: trailing 1-row bucket merges into
     # previous piece via duplication; the 1-row piece itself is dropped
