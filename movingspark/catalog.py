@@ -1,0 +1,76 @@
+"""Table IO boundary: path-addressable parquet today, Iceberg-ready.
+
+The north rule targets Iceberg tables of interleaved documents; every
+engine operator takes/returns DataFrames, so table format is strictly a
+boundary concern. `read_table`/`write_table` resolve either
+
+- a CATALOG IDENTIFIER (`catalog.db.table`) via `spark.read.table` /
+  `DataFrameWriterV2` — exactly how Iceberg tables appear once a
+  catalog is configured (public Iceberg runtime config:
+  `spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`
+  plus the `iceberg-spark-runtime` jar on the cluster classpath); or
+- a FILESYSTEM PATH via `spark.read.parquet` (this sandbox ships no
+  Iceberg jar, so tests exercise the identifier branch against Spark's
+  built-in session catalog — the same calls Iceberg intercepts).
+
+Writes use the V2 writer for identifiers (`createOrReplace` /
+`append`), which maps onto Iceberg's atomic snapshot commits, and the
+classic parquet writer for paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def is_table_identifier(ref: str) -> bool:
+    """Heuristic boundary: a filesystem path contains '/' (or a URI
+    scheme); a table identifier is dot-separated names."""
+    return "/" not in ref and "\\" not in ref and ":" not in ref
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    if is_table_identifier(ref):
+        return spark.read.table(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """mode: 'append' | 'overwrite'. Identifier writes go through the
+    DataFrameWriterV2 (atomic replace / append — Iceberg snapshot
+    semantics); path writes through the parquet writer."""
+    if is_table_identifier(ref):
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        w = df.writeTo(ref)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        try:
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                try:
+                    w.append()
+                except Exception:
+                    # first write to a not-yet-existing table
+                    w.create()
+        except Exception:
+            # V2 writer path (what Iceberg catalogs implement); the
+            # built-in V1 session catalog lacks REPLACE TABLE AS SELECT
+            # -> fall back to the classic saveAsTable
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.saveAsTable(ref)
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(ref)

@@ -40,7 +40,8 @@ def cmd_pipeline(args) -> int:
     ck = Checkpointer(spark, args.checkpoints)
 
     if args.input:
-        docs = spark.read.parquet(args.input)
+        from movingspark.catalog import read_table
+        docs = read_table(spark, args.input)
     else:
         docs = ingest.synth_interleaved_docs(spark, args.synth_docs)
 
@@ -69,7 +70,8 @@ def cmd_kinematics(args) -> int:
     from movingspark import derive
 
     spark = build_session("movingspark-kinematics")
-    df = spark.read.parquet(args.input)
+    from movingspark.catalog import read_table
+    df = read_table(spark, args.input)
     out = derive.add_all_kinematics(df, latlon=args.latlon)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))

@@ -41,6 +41,77 @@ def gap_sessions(df: DataFrame, gap: str = "1 hour", cols: PointCols = TRAJ_COLS
     )
 
 
+def streaming_kinematics(stream: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    incremental form of derive.add_all_kinematics — per-trajectory
+    timedelta/distance/speed computed across micro-batches by carrying
+    each trajectory's last observation (t, x, y) as explicit group
+    state. A trajectory whose points arrive in different micro-batches
+    still gets the correct first delta of every batch, because the
+    predecessor lives in the state store, not in the batch.
+
+    Differences from the batch operator, by necessity of streaming:
+    - the very first observation of a trajectory emits null
+      timedelta/distance/speed (the batch engine back-patches row 1
+      with row 2's speed; a stream cannot see the successor yet);
+    - points are assumed to arrive per-trajectory in time order across
+      batches (within a batch they are sorted here).
+    Works only on streaming DataFrames (Spark requires a streaming
+    source for stateful processing); the batch twin is
+    derive.add_all_kinematics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{cols.traj_id} string, {cols.t} timestamp, {cols.x} double, {cols.y} double, "
+        "timedelta_s double, distance double, speed double"
+    )
+    state_schema = "t_us long, x double, y double"
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        parts = [p for p in pdfs]
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(cols.t, kind="mergesort").reset_index(drop=True)
+        t_us = pdf[cols.t].astype("int64").to_numpy() // 1000  # ns -> µs
+        xs = pdf[cols.x].to_numpy(float)
+        ys = pdf[cols.y].to_numpy(float)
+        if state.exists:
+            p_tus, p_x, p_y = state.get
+            prev_tus = np.concatenate([[p_tus], t_us[:-1]])
+            prev_x = np.concatenate([[p_x], xs[:-1]])
+            prev_y = np.concatenate([[p_y], ys[:-1]])
+            valid = np.ones(len(pdf), dtype=bool)
+        else:
+            prev_tus = np.concatenate([[0], t_us[:-1]])
+            prev_x = np.concatenate([[0.0], xs[:-1]])
+            prev_y = np.concatenate([[0.0], ys[:-1]])
+            valid = np.ones(len(pdf), dtype=bool)
+            valid[0] = False
+        dt = (t_us - prev_tus) / 1e6
+        dist = np.hypot(xs - prev_x, ys - prev_y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            speed = np.where(dt > 0, dist / np.where(dt == 0, 1.0, dt), 0.0)
+        out = pd.DataFrame(
+            {
+                cols.traj_id: pdf[cols.traj_id] if cols.traj_id in pdf else key[0],
+                cols.t: pdf[cols.t],
+                cols.x: xs,
+                cols.y: ys,
+                "timedelta_s": np.where(valid, dt, np.nan),
+                "distance": np.where(valid, dist, np.nan),
+                "speed": np.where(valid, speed, np.nan),
+            }
+        )
+        state.update((int(t_us[-1]), float(xs[-1]), float(ys[-1])))
+        yield out
+
+    return stream.groupBy(cols.traj_id).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_tile_rollup(
     stream: DataFrame,
     res: int,

@@ -45,6 +45,61 @@ def test_gap_sessions_batch(spark):
     assert got == {("1", 2), ("1", 1), ("2", 1)}
 
 
+def test_streaming_kinematics_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator: the trajectory's last
+    observation carries across micro-batches, so the first point of
+    batch 2 gets its delta against the last point of batch 1."""
+    batch1 = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 0.0, 0.0),
+            (1, "2020-01-01T00:00:10", 30.0, 40.0),  # dist 50, dt 10 -> speed 5
+        ],
+    )
+    batch2 = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:20", 30.0, 100.0),  # dist 60 from batch-1 tail
+            (2, "2020-01-01T00:00:00", 1.0, 1.0),     # new traj -> first row null
+        ],
+    )
+    src_dir = str(tmp_path / "kin_src")
+    # one file per micro-batch (maxFilesPerTrigger=1 -> two batches)
+    batch1.coalesce(1).write.parquet(src_dir + "/b1")
+    batch2.coalesce(1).write.parquet(src_dir + "/b2")
+    import glob
+    import shutil
+
+    files = sorted(glob.glob(src_dir + "/b*/part-*.parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(f, f"{src_dir}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*.parquet")
+    )
+    out = streaming.streaming_kinematics(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kin_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r["traj_id"], r["t"].isoformat()): r for r in spark.sql("select * from kin_test").collect()}
+    assert len(rows) == 4
+    first = rows[("1", "2020-01-01T00:00:00")]
+    assert first["speed"] is None or first["speed"] != first["speed"]  # null/NaN first row
+    mid = rows[("1", "2020-01-01T00:00:10")]
+    assert mid["distance"] == 50.0 and mid["speed"] == 5.0
+    # the cross-batch row: predecessor came from the STATE, not the batch
+    tail = rows[("1", "2020-01-01T00:00:20")]
+    assert tail["distance"] == 60.0 and tail["timedelta_s"] == 10.0 and tail["speed"] == 6.0
+    t2 = rows[("2", "2020-01-01T00:00:00")]
+    assert t2["speed"] is None or t2["speed"] != t2["speed"]
+
+
 def test_streaming_tile_rollup_with_memory_sink(spark, tmp_path):
     # drive the actual streaming path: file source -> watermarked rollup -> memory sink
     df = rows_to_points(

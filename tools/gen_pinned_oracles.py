@@ -154,28 +154,49 @@ FROM agg
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_py = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/movingspark/pinned_oracles_sf001.py"
-    pts = load_points(sf_dir)
-    drop = dp_drop_lists(pts)
-    hull = hull_rn_lists(pts)
-    ranges = stop_ranges(pts)
-    sqls = build_sql(drop, hull, ranges)
-    n_drop = sum(len(v) for v in drop.values())
-    n_hull = sum(len(v) for v in hull.values())
+    sf_dirs = sys.argv[1:-1] if len(sys.argv) > 2 else (
+        sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    )
+    out_py = (
+        sys.argv[-1]
+        if len(sys.argv) > 2 and sys.argv[-1].endswith(".py")
+        else "/root/repo/movingspark/pinned_oracles_sf001.py"
+    )
+    if not sf_dirs or sf_dirs[-1] == out_py:
+        sf_dirs = sf_dirs[:-1] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    by_sf = {}
+    stats = {}
+    for sf_dir in sf_dirs:
+        pts = load_points(sf_dir)
+        drop = dp_drop_lists(pts)
+        hull = hull_rn_lists(pts)
+        ranges = stop_ranges(pts)
+        by_sf[sf_dir] = build_sql(drop, hull, ranges)
+        stats[sf_dir] = (
+            sum(len(v) for v in drop.values()),
+            sum(len(v) for v in hull.values()),
+            len(ranges),
+        )
+    primary = sf_dirs[0]
     with open(out_py, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_pinned_oracles.py — do not edit.\n\n'
-            f"Expected-output oracles for the sequential ops at {sf_dir}\n"
-            f"(dp dropped rows: {n_drop}, hull vertices: {n_hull}, "
-            f"stop ranges: {len(ranges)}). Regenerate after changing the\n"
-            'DP/stop/hull kernels or their query parameters."""\n\n'
+            "Expected-output oracles for the sequential ops, one set per sf\n"
+            f"dir {list(by_sf)} (stats per dir: {stats}).\n"
+            f"PINNED_SQL is the {primary} set (the driver's correctness sf);\n"
+            "tools/check_correctness.py selects by sf_dir from\n"
+            'PINNED_SQL_BY_SF. Regenerate after changing the DP/stop/hull\n'
+            'kernels or their query parameters."""\n\n'
         )
-        f.write("PINNED_SQL = {\n")
-        for k, v in sqls.items():
-            f.write(f"    {k!r}: {v!r},\n")
-        f.write("}\n")
-    print(f"wrote {out_py}: dp_drop={n_drop} hull={n_hull} ranges={len(ranges)}")
+        f.write("PINNED_SQL_BY_SF = {\n")
+        for sf_dir, sqls in by_sf.items():
+            f.write(f"    {sf_dir!r}: {{\n")
+            for k, v in sqls.items():
+                f.write(f"        {k!r}: {v!r},\n")
+            f.write("    },\n")
+        f.write("}\n\n")
+        f.write(f"PINNED_SQL = PINNED_SQL_BY_SF[{primary!r}]\n")
+    print(f"wrote {out_py}: {stats}")
 
 
 if __name__ == "__main__":
