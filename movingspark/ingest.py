@@ -56,9 +56,21 @@ def make_traj_points(
     sel += [F.col(c) for c in extra]
     out = df.select(*sel)
 
+    # Dedup via lag over the TRAJECTORY partitioning, not a (traj_id, t)
+    # window: partitioning by (traj_id, t) would shuffle once for the
+    # dedup and AGAIN for every downstream per-trajectory window. With
+    # partitionBy(traj_id) ORDER BY (t, tiebreak), keep-first-per-t is
+    # `lag(t) != t`, and the (traj_id)-hash exchange + (t,...) sort are
+    # REUSED by the whole downstream window chain (lag/lead/row_number
+    # order by t — a satisfied prefix). One exchange for the entire
+    # canonical point pipeline instead of two.
     order = [F.col(tiebreak)] if tiebreak is not None else [F.monotonically_increasing_id()]
-    w_dup = Window.partitionBy("traj_id", "t").orderBy(*order)
-    out = out.withColumn("__rn", F.row_number().over(w_dup)).filter(F.col("__rn") == 1).drop("__rn")
+    w_traj = Window.partitionBy("traj_id").orderBy(F.col("t"), *order)
+    out = (
+        out.withColumn("__pt", F.lag("t").over(w_traj))
+        .filter(F.col("__pt").isNull() | (F.col("__pt") != F.col("t")))
+        .drop("__pt")
+    )
 
     w_cnt = Window.partitionBy("traj_id")
     out = out.withColumn("__n", F.count("*").over(w_cnt)).filter(F.col("__n") >= min_rows).drop("__n")

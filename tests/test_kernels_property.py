@@ -97,3 +97,52 @@ def test_hausdorff_symmetry_identity(a, b):
 def test_angular_difference_range(d1, d2):
     d = float(K.angular_difference(d1, d2))
     assert 0.0 <= d <= 180.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)), min_size=1, max_size=12),
+       st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)), min_size=1, max_size=12))
+def test_polyline_min_distance_properties(a, b):
+    A = np.array(a, dtype=float)
+    B = np.array(b, dtype=float)
+    d = K.polyline_min_distance(A, B)
+    assert d >= 0.0
+    assert abs(K.polyline_min_distance(B, A) - d) < 1e-9  # symmetric
+    assert K.polyline_min_distance(A, A) < 1e-12
+    # min distance never exceeds any vertex-pair distance
+    vp = np.sqrt(((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)).min()
+    assert d <= vp + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)), min_size=1, max_size=12),
+       st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)), min_size=1, max_size=12))
+def test_discrete_hausdorff_properties(a, b):
+    A = np.array(a, dtype=float)
+    B = np.array(b, dtype=float)
+    d = K.discrete_hausdorff_line(A, B)
+    assert d >= 0.0
+    assert abs(K.discrete_hausdorff_line(B, A) - d) < 1e-9
+    assert K.discrete_hausdorff_line(A, A) < 1e-12  # projection clamp epsilon
+    # vertex-to-LINE hausdorff never exceeds vertex-to-VERTEX hausdorff
+    assert d <= K.hausdorff(A, B) + 1e-12
+    # ...and the min-distance never exceeds the hausdorff distance
+    assert K.polyline_min_distance(A, B) <= d + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(0, 100), st.floats(0, 100)), min_size=2, max_size=8))
+def test_segments_intersect_polygon_consistency(seg_pts):
+    # a segment fully inside the box must intersect; one far outside must not
+    poly = np.array([(20, 20), (80, 20), (80, 80), (20, 80)], float)
+    pts = np.array(seg_pts, dtype=float)
+    ax, ay = pts[:-1, 0], pts[:-1, 1]
+    bx, by = pts[1:, 0], pts[1:, 1]
+    hit = K.segments_intersect_polygon(ax, ay, bx, by, poly)
+    inside_a = K.point_in_polygon(ax, ay, poly)
+    inside_b = K.point_in_polygon(bx, by, poly)
+    # endpoint inside => must report intersect
+    assert bool(np.all(hit[inside_a | inside_b]))
+    # both endpoints strictly in the same outside half-plane => no intersect
+    left = (ax < 20 - 1e-9) & (bx < 20 - 1e-9)
+    assert not np.any(hit[left])
