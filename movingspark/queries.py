@@ -183,24 +183,67 @@ def get_mcp(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def get_locations_at(df: DataFrame, t, method: str = "nearest", cols: PointCols = TRAJ_COLS) -> DataFrame:
+def get_locations_at(
+    df: DataFrame,
+    t,
+    method: str = "nearest",
+    cols: PointCols = TRAJ_COLS,
+    with_direction: bool = False,
+    drop_outside: bool = False,
+) -> DataFrame:
     """J3 (trajectory_collection.py:359-436): per-trajectory observation
     at time t. nearest = min |t - t0| (earlier row wins ties); ffill =
-    latest row ≤ t; bfill = earliest row ≥ t."""
-    tl = F.lit(t).cast("timestamp")
-    diff = F.abs(F.unix_micros(F.col(cols.t)) - F.unix_micros(tl))
-    if method == "nearest":
-        w = Window.partitionBy(cols.traj_id).orderBy(diff.asc(), F.col(cols.t).asc())
+    latest row ≤ t; bfill = earliest row ≥ t.
+
+    t may also be "start"/"end" (get_start_locations /
+    get_end_locations). with_direction adds the per-point movement
+    direction column before selecting the row (the reference computes
+    add_direction on the trajectory first — same first-row patch
+    semantics). drop_outside replicates the reference collection's
+    behavior of skipping trajectories whose time range does not contain
+    t (trajectory_collection.py:393-394); off by default for
+    backward-compatible as-of lookups."""
+    if with_direction and "direction" not in df.columns:
+        from movingspark.derive import add_direction
+
+        df = add_direction(df, cols=cols)
+    if t in ("start", "end"):
+        order = F.col(cols.t).asc() if t == "start" else F.col(cols.t).desc()
+        w = Window.partitionBy(cols.traj_id).orderBy(order)
         cand = df
-    elif method == "ffill":
-        cand = df.filter(F.col(cols.t) <= tl)
-        w = Window.partitionBy(cols.traj_id).orderBy(F.col(cols.t).desc())
-    elif method == "bfill":
-        cand = df.filter(F.col(cols.t) >= tl)
-        w = Window.partitionBy(cols.traj_id).orderBy(F.col(cols.t).asc())
     else:
-        raise ValueError(method)
+        tl = F.lit(t).cast("timestamp")
+        diff = F.abs(F.unix_micros(F.col(cols.t)) - F.unix_micros(tl))
+        if method == "nearest":
+            w = Window.partitionBy(cols.traj_id).orderBy(diff.asc(), F.col(cols.t).asc())
+            cand = df
+        elif method == "ffill":
+            cand = df.filter(F.col(cols.t) <= tl)
+            w = Window.partitionBy(cols.traj_id).orderBy(F.col(cols.t).desc())
+        elif method == "bfill":
+            cand = df.filter(F.col(cols.t) >= tl)
+            w = Window.partitionBy(cols.traj_id).orderBy(F.col(cols.t).asc())
+        else:
+            raise ValueError(method)
+        if drop_outside:
+            wt = Window.partitionBy(cols.traj_id)
+            cand = (
+                cand.withColumn("__tmin", F.min(cols.t).over(wt))
+                .withColumn("__tmax", F.max(cols.t).over(wt))
+                .filter((tl >= F.col("__tmin")) & (tl <= F.col("__tmax")))
+                .drop("__tmin", "__tmax")
+            )
     return cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def get_start_locations(df: DataFrame, with_direction: bool = False, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """trajectory_collection.py:416-425."""
+    return get_locations_at(df, "start", cols=cols, with_direction=with_direction)
+
+
+def get_end_locations(df: DataFrame, with_direction: bool = False, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """trajectory_collection.py:427-436."""
+    return get_locations_at(df, "end", cols=cols, with_direction=with_direction)
 
 
 def interpolate_position_at(df: DataFrame, t, cols: PointCols = TRAJ_COLS) -> DataFrame:

@@ -59,3 +59,25 @@ def test_to_traj_gdf_mode_tie_smallest(spark, traj3):
 def test_to_traj_gdf_rejects_unknown_agg(spark, traj3):
     with pytest.raises(ValueError):
         q.to_traj_gdf(traj3, agg={"x": "frobnicate"})
+
+
+def test_get_start_end_locations_with_direction(spark, traj3):
+    """trajectory_collection.py:416-436: start/end rows, optionally with
+    the movement-direction column (first row patched with the first
+    segment's direction — (0,0)->(6,0) is due east = 90 deg)."""
+    start = q.get_start_locations(traj3, with_direction=True).collect()
+    assert len(start) == 1
+    assert start[0]["x"] == 0.0 and start[0]["direction"] == 90.0
+    end = q.get_end_locations(traj3, with_direction=True).collect()
+    assert end[0]["x"] == 6.0 and end[0]["y"] == 6.0
+    assert end[0]["direction"] == 0.0  # (6,0)->(6,6) is due north
+
+
+def test_get_locations_at_drop_outside(spark, traj3):
+    """trajectory_collection.py:393-394: trajectories whose range does
+    not contain t are skipped when drop_outside=True."""
+    import datetime as dt
+
+    t = dt.datetime(1970, 1, 2)  # after traj3's end
+    assert q.get_locations_at(traj3, t, drop_outside=True).count() == 0
+    assert q.get_locations_at(traj3, t).count() == 1  # as-of default keeps it
