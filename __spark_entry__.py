@@ -449,8 +449,12 @@ def _seg_intersects_sql(poly) -> str:
     p = _np.asarray(poly, dtype=_np.float64)
     if _np.array_equal(p[0], p[-1]):
         p = p[:-1]
-    inside_a = "(px >= 20 AND px <= 120 AND py >= 20 AND py <= 80)"
-    inside_b = "(x >= 20 AND x <= 120 AND y >= 20 AND y <= 80)"
+    # endpoint-inside test: POLY is an axis-aligned rectangle, so plain
+    # bbox comparisons are exact (derived from the polygon, not literals)
+    x0, y0 = float(p[:, 0].min()), float(p[:, 1].min())
+    x1, y1 = float(p[:, 0].max()), float(p[:, 1].max())
+    inside_a = f"(px >= {x0!r} AND px <= {x1!r} AND py >= {y0!r} AND py <= {y1!r})"
+    inside_b = f"(x >= {x0!r} AND x <= {x1!r} AND y >= {y0!r} AND y <= {y1!r})"
     parts = [inside_a, inside_b]
     k = len(p)
     for i in range(k):

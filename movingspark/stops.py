@@ -27,9 +27,24 @@ from movingspark.schema import PointCols, TRAJ_COLS
 RANGE_SCHEMA = "traj_id string, start_t timestamp, end_t timestamp"
 
 
-def _detect_stops_np(xs: np.ndarray, ys: np.ndarray, ts: np.ndarray, max_diameter: float, min_duration_s: float, latlon: bool):
+def _detect_stops_np(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ts: np.ndarray,
+    max_diameter: float,
+    min_duration_s: float,
+    latlon: bool,
+    flush: bool = True,
+    return_lo: bool = False,
+):
     """Port of _process_traj (trajectory_stop_detector.py:122-187).
     ts are float seconds; returns list of (t0, tn) index pairs into ts.
+
+    flush=False suppresses the trailing end-of-data stop emission (the
+    streaming caller cannot know the stream ended); return_lo=True also
+    returns the final buffer-start index — points before it can never
+    influence a future decision, so an incremental caller keeps only
+    xs[lo:] as carry-over state.
 
     The reference's point buffer is always a CONTIGUOUS index range
     (append i; trim the head; reset to the last element), so it is
@@ -107,8 +122,10 @@ def _detect_stops_np(xs: np.ndarray, ys: np.ndarray, ts: np.ndarray, max_diamete
 
         previously_stopped = is_stopped
 
-    if is_stopped and ts[n - 1] - ts[lo] >= min_duration_s:
+    if flush and is_stopped and ts[n - 1] - ts[lo] >= min_duration_s:
         out.append((ts[lo], ts[n - 1]))
+    if return_lo:
+        return out, lo
     return out
 
 

@@ -112,6 +112,67 @@ def streaming_kinematics(stream: DataFrame, cols: PointCols = TRAJ_COLS) -> Data
     )
 
 
+def streaming_stops(
+    stream: DataFrame,
+    max_diameter: float,
+    min_duration_s: float,
+    latlon: bool = False,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """STATEFUL streaming stop detection (applyInPandasWithState): the
+    incremental form of stops.get_stop_time_ranges. Per trajectory the
+    state carries exactly the points that can still influence a future
+    decision — the detector's active window [lo..] — so a stop that
+    spans micro-batch boundaries is detected once, when the movement
+    break that closes it arrives.
+
+    Correctness argument: the batch detector's decisions at step i
+    depend only on the window [lo..i]; when a stop is emitted the
+    buffer restarts at the break point, and while not stopped the head
+    shrink drops everything older than min_duration. Replaying the
+    retained window plus the new batch therefore reproduces the exact
+    decision sequence of a continuous run (same loop, flush=False so
+    a still-forming trailing stop is held in state rather than
+    emitted; it closes in a later batch when movement resumes).
+    The batch twin is stops.get_stop_time_ranges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from movingspark.stops import _detect_stops_np
+
+    out_schema = f"{cols.traj_id} string, start_t timestamp, end_t timestamp"
+    state_schema = "xs array<double>, ys array<double>, ts array<double>"
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(cols.t, kind="mergesort")
+        xs = pdf[cols.x].to_numpy(float)
+        ys = pdf[cols.y].to_numpy(float)
+        ts = pdf[cols.t].astype("int64").to_numpy() / 1e9
+        if state.exists:
+            sxs, sys_, sts = state.get
+            xs = np.concatenate([np.asarray(sxs, float), xs])
+            ys = np.concatenate([np.asarray(sys_, float), ys])
+            ts = np.concatenate([np.asarray(sts, float), ts])
+        stops_found, lo = _detect_stops_np(
+            xs, ys, ts, max_diameter, min_duration_s, latlon, flush=False, return_lo=True
+        )
+        state.update((xs[lo:].tolist(), ys[lo:].tolist(), ts[lo:].tolist()))
+        yield pd.DataFrame(
+            {
+                cols.traj_id: [key[0]] * len(stops_found),
+                "start_t": [pd.Timestamp(round(s * 1e6) * 1000) for s, _ in stops_found],
+                "end_t": [pd.Timestamp(round(e * 1e6) * 1000) for _, e in stops_found],
+            }
+        )
+
+    return stream.groupBy(cols.traj_id).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_tile_rollup(
     stream: DataFrame,
     res: int,

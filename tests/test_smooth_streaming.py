@@ -100,6 +100,65 @@ def test_streaming_kinematics_state_across_batches(spark, tmp_path):
     assert t2["speed"] is None or t2["speed"] != t2["speed"]
 
 
+def test_streaming_stops_match_batch_across_boundary(spark, tmp_path):
+    """Stateful streaming stop detector: a stop that SPANS the
+    micro-batch boundary is emitted exactly once, with the same range
+    the batch detector computes on the full data."""
+    from movingspark import stops as stops_mod
+
+    rows = [
+        (1, "2020-01-01T00:00:00", 0.0, 0.0),
+        (1, "2020-01-01T00:00:10", 100.0, 0.0),
+        (1, "2020-01-01T00:00:20", 200.0, 0.0),
+    ]
+    # stop: 9 points inside a 2-unit box over 80 s (>= 60 s)
+    for k in range(9):
+        rows.append((1, f"2020-01-01T00:00:{30 + 10 * k:02d}" if 30 + 10 * k < 60
+                     else f"2020-01-01T00:01:{30 + 10 * k - 60:02d}", 300.0 + 0.1 * k, 0.0))
+    rows += [
+        (1, "2020-01-01T00:02:00", 500.0, 0.0),  # break -> stop closes
+        (1, "2020-01-01T00:02:10", 600.0, 0.0),
+    ]
+    full = rows_to_points(spark, rows)
+    expected = {
+        (r["traj_id"], r["start_t"].isoformat(), r["end_t"].isoformat())
+        for r in stops_mod.get_stop_time_ranges(full, max_diameter=10.0, min_duration_s=60.0).collect()
+    }
+    assert len(expected) == 1  # sanity: the fixture contains one stop
+
+    # split mid-stop: batch 1 ends at t=00:00:50, batch 2 has the rest
+    cut = "2020-01-01T00:00:55"
+    b1 = rows_to_points(spark, [r for r in rows if r[1] < cut])
+    b2 = rows_to_points(spark, [r for r in rows if r[1] >= cut])
+    src = str(tmp_path / "stops_src")
+    import glob
+    import shutil
+
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    out = streaming.streaming_stops(stream, max_diameter=10.0, min_duration_s=60.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stops_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["traj_id"], r["start_t"].isoformat(), r["end_t"].isoformat())
+        for r in spark.sql("select * from stops_stream_test").collect()
+    }
+    assert got == expected
+
+
 def test_streaming_tile_rollup_with_memory_sink(spark, tmp_path):
     # drive the actual streaming path: file source -> watermarked rollup -> memory sink
     df = rows_to_points(
