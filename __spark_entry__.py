@@ -359,6 +359,94 @@ FROM uni GROUP BY traj_id, piece HAVING COUNT(*) >= 2
 """
 
 
+def q_split_temporal_2h(spark, sf_dir):
+    """X3 raw-frequency alias (trajectory_splitter.py:117-120 forwards
+    unknown modes to pd.Grouper): '2h' tick bins anchored at midnight of
+    each trajectory's first observation day (Grouper origin='start_day')."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = split.split_temporally(pts, "2h")
+    return out.groupBy("traj_id", "parent").agg(
+        F.count("*").alias("n"), F.min("t").alias("start_t"), F.max("t").alias("end_t")
+    )
+
+
+SQL_SPLIT_TEMPORAL_2H = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+o AS (
+  SELECT traj_id, t,
+         epoch_us(DATE_TRUNC('day', MIN(t) OVER (PARTITION BY traj_id))) AS origin_us
+  FROM pts
+),
+bk AS (
+  SELECT traj_id, t, CAST(FLOOR((epoch_us(t) - origin_us) / 7200000000.0) AS BIGINT) AS bucket
+  FROM o
+),
+b AS (
+  SELECT traj_id, t,
+         DENSE_RANK() OVER (PARTITION BY traj_id ORDER BY bucket) - 1 AS piece,
+         ROW_NUMBER() OVER (PARTITION BY traj_id, bucket ORDER BY t) AS fr
+  FROM bk
+),
+uni AS (
+  SELECT traj_id, t, piece FROM b
+  UNION ALL
+  SELECT traj_id, t, piece - 1 AS piece FROM b WHERE fr = 1 AND piece > 0
+)
+SELECT traj_id || '_' || CAST(piece AS VARCHAR) AS traj_id,
+       traj_id AS parent, COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM uni GROUP BY traj_id, piece HAVING COUNT(*) >= 2
+"""
+
+
+def q_traj_gdf_agg(spark, sf_dir):
+    """A10 general to_traj_gdf(agg=...) API (trajectory.py:661-713):
+    per-trajectory row with length/direction plus mode / quantile /
+    median / min aggregates. Aggregate choices avoid float-sum
+    order sensitivity (no mean): min/max are exact, percentiles
+    interpolate between two exact data values identically on both
+    engines (validated by iqr_clean/traj_export), mode is exact."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
+    out = q.to_traj_gdf(
+        pts, agg={"x": ["q90", "min"], "y": "median", "event_type": "mode"}
+    )
+    # length/direction are oracle-checked by traj_summary already and
+    # their float-SUM association error (~1e-11) can straddle even a
+    # double-rounding snap; this query gates the agg= API columns.
+    return _round2(
+        out.select(
+            "traj_id", "start_t", "end_t",
+            "x_q90", "x_min", "y_median", "event_type_mode",
+        ),
+        ["x_q90", "y_median"],
+    )
+
+
+SQL_TRAJ_GDF_AGG = f"""
+WITH pts AS (SELECT traj_id, t, x, y, event_type FROM ({EVENTS_POINTS_ORACLE_FULL})),
+modes AS (
+  SELECT traj_id, event_type AS event_type_mode FROM (
+    SELECT traj_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY COUNT(*) DESC, event_type ASC) AS r
+    FROM pts GROUP BY traj_id, event_type
+  ) WHERE r = 1
+),
+agg AS (
+  SELECT traj_id,
+         MIN(t) AS start_t, MAX(t) AS end_t,
+         QUANTILE_CONT(x, 0.9) AS x_q90,
+         MIN(x) AS x_min,
+         QUANTILE_CONT(y, 0.5) AS y_median
+  FROM pts GROUP BY traj_id
+)
+SELECT d.traj_id, start_t, end_t,
+       ROUND(ROUND(x_q90, 9), {R}) AS x_q90,
+       x_min,
+       ROUND(ROUND(y_median, 9), {R}) AS y_median,
+       m.event_type_mode
+FROM agg d JOIN modes m ON d.traj_id = m.traj_id
+"""
+
+
 def q_iqr_clean(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     return clean.iqr_clean(pts, {"x": 1.0})
@@ -1283,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_export": q_line_export,
         "split_gap": q_split_gap,
         "split_temporal_day": q_split_temporal_day,
+        "split_temporal_2h": q_split_temporal_2h,
+        "traj_gdf_agg": q_traj_gdf_agg,
         "iqr_clean": q_iqr_clean,
         "min_duration_filter": q_min_duration_filter,
         "tile_rollup": q_tile_rollup,
@@ -1330,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
         "line_export": SQL_LINE_EXPORT,
         "split_gap": SQL_SPLIT_GAP,
         "split_temporal_day": SQL_SPLIT_TEMPORAL_DAY,
+        "split_temporal_2h": SQL_SPLIT_TEMPORAL_2H,
+        "traj_gdf_agg": SQL_TRAJ_GDF_AGG,
         "iqr_clean": SQL_IQR_CLEAN,
         "min_duration_filter": SQL_MIN_DURATION_FILTER,
         "tile_rollup": SQL_TILE_ROLLUP,
