@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties the engine
+guarantees are asserted on the EXPLAIN output so a refactor cannot
+silently reintroduce a shuffle, a Python stage, or a sort-exchange.
+"""
+
+import io
+import re
+import contextlib
+
+from pyspark.sql import functions as F
+
+from movingspark import derive, joins
+from tests.conftest import rows_to_points
+
+
+def _no_python_exec(plan: str) -> bool:
+    """True when no PYTHON WORKER executes in the plan (a local
+    createDataFrame scan mentions Python harmlessly)."""
+    return not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    return len([ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Exchange", ln)])
+
+
+def _pts(spark, n=50):
+    rows = [(i % 5, f"2020-01-01T00:{i // 5:02d}:00", float(i), float(i % 7)) for i in range(n)]
+    return rows_to_points(spark, rows)
+
+
+def test_pip_join_no_point_shuffle_no_python(spark):
+    """Point-in-polygon never shuffles the point table and never leaves
+    the JVM for driver-known polygons <= 256 verts: broadcast cell cover
+    + codegen'd ray-cast refine."""
+    df = _pts(spark)
+    poly = [(3, 1), (40, 1), (40, 6), (3, 6)]
+    plan = plan_of(joins.point_in_polygon_join(df, [("p", poly)], res=5, bounds=(0.0, 0.0, 64.0, 8.0)))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only exchange allowed is the broadcast itself
+    assert n_exchanges(plan) == 0
+    assert _no_python_exec(plan)
+
+
+def test_knn_join_partial_min_by_no_sort_exchange(spark):
+    """k=1 kNN aggregates map-side (partial_min_by) — the explain must
+    show partial aggregation and NO exchange keyed by the near-unique
+    point tuple (the round-1 row_number window shape)."""
+    df = _pts(spark)
+    cents = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 30.0, 5.0)], "cluster_id string, cx double, cy double"
+    )
+    plan = plan_of(joins.knn_join(df, cents, k=1))
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+
+
+def test_canonical_ingest_single_exchange(spark):
+    """Dedup + validity count + derived kinematics all reuse ONE
+    (traj_id) hash partitioning — two exchanges would mean the dedup
+    window regressed to a (traj_id, t) partitioning."""
+    from movingspark import ingest
+
+    df = _pts(spark)
+    pts = ingest.make_traj_points(df, "traj_id", "t", "x", "y", tiebreak="x")
+    plan = plan_of(derive.add_all_kinematics(pts))
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_line_intersects_single_window_no_python(spark):
+    """Line-based intersects: one per-traj window (segments), codegen'd
+    segment tests, no Python for small polygons."""
+    df = _pts(spark)
+    poly = [(3, 1), (40, 1), (40, 6), (3, 6)]
+    plan = plan_of(joins.intersecting_traj_ids_line(df, poly))
+    assert _no_python_exec(plan)
+    assert len([ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Window", ln)]) == 1
