@@ -143,16 +143,28 @@ def ngram_jaccard_pairs(
     are unchanged; only pairs whose overlap is exclusively hot shingles
     can be missed (documented recall trade — such pairs are far below
     any near-dup threshold in practice)."""
+    # Shingle via words-projection + exploded index + per-row slice —
+    # NOT transform(sequence, lambda): a captured split() inside a HOF
+    # lambda re-evaluates the regex tokenization per ELEMENT on the
+    # interpreted path (the same pathology measured at 20-50x on the
+    # minhash pipeline; see minhash_band_pairs / q_dedup_minhash).
     words = F.split(lower_ascii(F.col(text_col)), "\\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    wbase = df.select(F.col(id_col).alias("doc"), words.alias("__w"))
+    ex = (
+        wbase.select(
+            "doc",
+            "__w",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0)))).alias("k"),
+        )
+        .select("doc", F.md5(F.concat_ws(" ", F.slice("__w", F.col("k") + 1, n))).alias("shingle"))
+        .distinct()  # array_distinct equivalent: the shingle SET per doc
     )
-    base = df.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
-    sizes = base.select("doc", F.size("sh").alias("n_sh"))
-    ex = base.select("doc", F.explode("sh").alias("shingle"))
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     if max_doc_freq is not None:
+        # full shingle sets rebuilt only for the capped path's exact
+        # per-pair recomputation
+        base = ex.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
         cold = (
             ex.groupBy("shingle")
             .agg(F.count("*").alias("__df"))
