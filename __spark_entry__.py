@@ -980,6 +980,45 @@ FROM documents
 """
 
 
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document via the scale path (`text.add_simhash`:
+    one md5 per token, codegen'd vote sums, map-side partial agg)."""
+    from movingspark.text import add_simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return add_simhash(docs, "doc_id", "text", bits=16, out_col="simhash")
+
+
+_SIMHASH_HI = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_VOTES = ",\n       ".join(
+    f"SUM(CASE WHEN substr(h, {b + 1}, 1) IN {_SIMHASH_HI} THEN 1 ELSE 0 END) AS v{b}"
+    for b in range(16)
+)
+_SIMHASH_OUT = "\n       + ".join(
+    f"(CASE WHEN COALESCE(v.v{b}, 0) * 2 > GREATEST(COALESCE(v.n, 0), 1) THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+# hex nibble >= 8 == substr IN ('8'..'f'): md5 is lowercase hex in both
+# engines, and string_split_regex(trim(...)) tokenization is the same
+# basis already oracle-proven by SQL_TEXT_STATS.
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), v AS (
+  SELECT doc_id, COUNT(*) AS n,
+       {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST({_SIMHASH_OUT} AS BIGINT) AS simhash
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
+
+
 def q_lang_stats(spark, sf_dir):
     """Per-language corpus stats (groupBy over the lang-id column +
     quality aggregates) — the aggregation side of language-ID."""
@@ -1392,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "text_stats": q_text_stats,
+        "simhash": q_simhash,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
         "split_value_change": q_split_value_change,
@@ -1441,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "text_stats": SQL_TEXT_STATS,
+        "simhash": SQL_SIMHASH,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
         "split_value_change": SQL_SPLIT_VALUE_CHANGE,

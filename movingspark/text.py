@@ -206,6 +206,41 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
 
 
+def add_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Scale-path SimHash: same values as `simhash_expr`, but ONE md5
+    per token instead of `bits` (simhash_expr evaluates md5 inside a
+    HOF filter lambda per bit — 16x the hashing, on the interpreted
+    expression path). Shape: explode tokens, hash once, project the
+    `bits` per-token votes off the single hash string, then a map-side
+    combinable groupBy(doc).sum — everything whole-stage codegen.
+    Returns (id_col, out_col); join back if the full row is needed.
+    """
+    toks = tokens_expr(lower_ascii(F.col(text_col)))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+        id_col, F.md5(F.col("__tok")).alias("__h")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for b in range(bits):
+        vote = F.conv(F.substring(F.col("__h"), b + 1, 1), 16, 10).cast("int") >= 8
+        aggs.append(F.sum(F.when(vote, 1).otherwise(0)).alias(f"__v{b}"))
+    g = df.select(F.col(id_col)).join(ex.groupBy(id_col).agg(*aggs), id_col, "left")
+    n = F.greatest(F.coalesce(F.col("__n"), F.lit(0)), F.lit(1))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + (
+            F.when(F.coalesce(F.col(f"__v{b}"), F.lit(0)) * 2 > n, F.lit(1 << b))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return g.select(F.col(id_col), out.alias(out_col))
+
+
 def minhash_band_pairs(
     df: DataFrame,
     id_col: str,

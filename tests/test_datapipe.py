@@ -56,6 +56,20 @@ def test_simhash_similar_docs_close(spark, docs):
     assert by[1] != by[4]
 
 
+def test_add_simhash_matches_expr(spark, docs):
+    """Scale path (explode + one-hash + vote sums) must equal the
+    per-row expression path bit-for-bit."""
+    expr = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", text.simhash_expr(F.col("text")).alias("h")).collect()
+    }
+    scale = {
+        r["doc_id"]: r["simhash"]
+        for r in text.add_simhash(docs, "doc_id", "text").collect()
+    }
+    assert expr == scale
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = text.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 3)}
