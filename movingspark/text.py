@@ -222,15 +222,18 @@ def add_simhash(
     Returns (id_col, out_col); join back if the full row is needed.
     """
     toks = tokens_expr(lower_ascii(F.col(text_col)))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+    # explode_OUTER: a null-text doc keeps one null-token row, so every
+    # doc survives to the aggregate (votes 0 -> hash 0, same as the
+    # expression path) with NO join-back — one exchange total.
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok")).select(
         id_col, F.md5(F.col("__tok")).alias("__h")
     )
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = [F.count(F.col("__h")).alias("__n")]
     for b in range(bits):
         vote = F.conv(F.substring(F.col("__h"), b + 1, 1), 16, 10).cast("int") >= 8
         aggs.append(F.sum(F.when(vote, 1).otherwise(0)).alias(f"__v{b}"))
-    g = df.select(F.col(id_col)).join(ex.groupBy(id_col).agg(*aggs), id_col, "left")
-    n = F.greatest(F.coalesce(F.col("__n"), F.lit(0)), F.lit(1))
+    g = ex.groupBy(id_col).agg(*aggs)
+    n = F.greatest(F.col("__n"), F.lit(1))
     out = F.lit(0).cast("long")
     for b in range(bits):
         out = out + (
