@@ -986,12 +986,15 @@ def q_simhash(spark, sf_dir):
     from movingspark.text import add_simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf parquet is one small file -> one scan partition; spread the
+    # hash-heavy map side (at production scale the table's own file
+    # count provides this parallelism and no repartition is needed)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return add_simhash(docs, "doc_id", "text", bits=16, out_col="simhash")
 
 
-_SIMHASH_HI = "('8','9','a','b','c','d','e','f')"
 _SIMHASH_VOTES = ",\n       ".join(
-    f"SUM(CASE WHEN substr(h, {b + 1}, 1) IN {_SIMHASH_HI} THEN 1 ELSE 0 END) AS v{b}"
+    f"SUM(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS v{b}"
     for b in range(16)
 )
 _SIMHASH_OUT = "\n       + ".join(

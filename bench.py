@@ -115,6 +115,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     run("dedup_minhash", lambda: force(E.q_dedup_minhash(spark, sf_dir)))
     run("text_stats", lambda: force(E.q_text_stats(spark, sf_dir)))
+    run("simhash", lambda: force(E.q_simhash(spark, sf_dir)))
     run("ann_cosine", lambda: force(E.q_ann_cosine(spark, sf_dir)))
 
     pts.unpersist()

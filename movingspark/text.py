@@ -230,7 +230,9 @@ def add_simhash(
     )
     aggs = [F.count(F.col("__h")).alias("__n")]
     for b in range(bits):
-        vote = F.conv(F.substring(F.col("__h"), b + 1, 1), 16, 10).cast("int") >= 8
+        # nibble >= 8 is a plain byte compare on lowercase hex
+        # ('8' < '9' < 'a' .. 'f'), no conv() string->int parse
+        vote = F.substring(F.col("__h"), b + 1, 1) >= "8"
         aggs.append(F.sum(F.when(vote, 1).otherwise(0)).alias(f"__v{b}"))
     g = ex.groupBy(id_col).agg(*aggs)
     n = F.greatest(F.col("__n"), F.lit(1))
