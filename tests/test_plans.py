@@ -81,3 +81,20 @@ def test_line_intersects_single_window_no_python(spark):
     plan = plan_of(joins.intersecting_traj_ids_line(df, poly))
     assert _no_python_exec(plan)
     assert len([ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Window", ln)]) == 1
+
+
+def test_add_simhash_single_exchange_partial_agg_no_python(spark):
+    """SimHash scale path: explode + one md5/token + vote sums must stay
+    a codegen'd partial+final hash aggregate with exactly ONE exchange
+    (the doc_id hash) — no join-back, no Python stage."""
+    from movingspark.text import add_simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} the and of common text here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(add_simhash(docs, "doc_id", "text"))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
+    assert _no_python_exec(plan)
