@@ -127,6 +127,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles -> self-join on shingle -> count common shingles per
@@ -159,6 +160,14 @@ def ngram_jaccard_pairs(
         .select("doc", F.md5(F.concat_ws(" ", F.slice("__w", F.col("k") + 1, n))).alias("shingle"))
         .distinct()  # array_distinct equivalent: the shingle SET per doc
     )
+    if cache_index:
+        # the inverted index is referenced by sizes, both join sides, and
+        # the DF cap — without persisting, each reference re-reads the
+        # corpus and re-shingles (4x the map work). MEMORY_AND_DISK:
+        # at corpus scale this is THE table you materialize once.
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     if max_doc_freq is not None:
