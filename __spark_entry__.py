@@ -43,15 +43,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _round(df: DataFrame, cols: list[str]) -> DataFrame:
+    # `+ 0.0` normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): DuckDB's
+    # ROUND keeps the sign of tiny negatives that round to zero, Spark's
+    # BigDecimal path does not — equal values, different byte hashes.
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c), R))
+        df = df.withColumn(c, F.round(F.col(c), R) + F.lit(0.0))
     return df
 
 
 def _round2(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Tie-robust double rounding (9dp then R dp); SQL twin is ROUND(ROUND(x,9),R)."""
+    """Tie-robust double rounding (9dp then R dp); SQL twin is
+    ROUND(ROUND(x,9),R) + 0.0 (the + 0.0 normalizes -0.0 on both engines)."""
     for c in cols:
-        df = df.withColumn(c, F.round(F.round(F.col(c), 9), R))
+        df = df.withColumn(c, F.round(F.round(F.col(c), 9), R) + F.lit(0.0))
     return df
 
 
@@ -160,11 +164,11 @@ d5 AS (
 )
 SELECT traj_id, t, x, y,
        dt AS timedelta_s,
-       ROUND(ROUND(dist_raw, 9), {R}) AS distance,
-       ROUND(ROUND(speed, 9), {R}) AS speed,
-       ROUND(ROUND(direction, 9), {R}) AS direction,
-       ROUND(ROUND(ang_raw, 9), {R}) AS angular_difference,
-       ROUND(ROUND(acc, 9), {R}) AS acceleration
+       ROUND(ROUND(dist_raw, 9), {R}) + 0.0 AS distance,
+       ROUND(ROUND(speed, 9), {R}) + 0.0 AS speed,
+       ROUND(ROUND(direction, 9), {R}) + 0.0 AS direction,
+       ROUND(ROUND(ang_raw, 9), {R}) + 0.0 AS angular_difference,
+       ROUND(ROUND(acc, 9), {R}) + 0.0 AS acceleration
 FROM d5
 """
 
@@ -253,10 +257,10 @@ SELECT COALESCE(prev.traj_id, nxt.traj_id) AS traj_id,
        TIMESTAMP '2024-01-15 00:00:00' AS t,
        ROUND(CASE WHEN t0 IS NULL THEN xn WHEN tn IS NULL THEN x0 WHEN tn = t0 THEN x0
             ELSE x0 + (xn - x0) * (epoch_us(TIMESTAMP '2024-01-15 00:00:00') - epoch_us(t0))
-                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) AS x,
+                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) + 0.0 AS x,
        ROUND(CASE WHEN t0 IS NULL THEN yn WHEN tn IS NULL THEN y0 WHEN tn = t0 THEN y0
             ELSE y0 + (yn - y0) * (epoch_us(TIMESTAMP '2024-01-15 00:00:00') - epoch_us(t0))
-                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) AS y
+                 / (epoch_us(tn) - epoch_us(t0)) END, {R}) + 0.0 AS y
 FROM prev FULL OUTER JOIN nxt ON prev.traj_id = nxt.traj_id
 """
 
@@ -439,9 +443,9 @@ agg AS (
   FROM pts GROUP BY traj_id
 )
 SELECT d.traj_id, start_t, end_t,
-       ROUND(ROUND(x_q90, 9), {R}) AS x_q90,
+       ROUND(ROUND(x_q90, 9), {R}) + 0.0 AS x_q90,
        x_min,
-       ROUND(ROUND(y_median, 9), {R}) AS y_median,
+       ROUND(ROUND(y_median, 9), {R}) + 0.0 AS y_median,
        m.event_type_mode
 FROM agg d JOIN modes m ON d.traj_id = m.traj_id
 """
@@ -1080,7 +1084,7 @@ pairs AS (
   SELECT query_id, vec_id,
          ROUND(list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2]))
                / (SQRT(list_sum(list_transform(v, a -> a * a)))
-                  * SQRT(list_sum(list_transform(qv, a -> a * a)))), 4) AS sim
+                  * SQRT(list_sum(list_transform(qv, a -> a * a)))), 4) + 0.0 AS sim
   FROM emb CROSS JOIN qs WHERE vec_id != query_id
 )
 SELECT query_id, vec_id, sim, rk FROM (
@@ -1297,8 +1301,8 @@ modes AS (
   ) WHERE r = 1
 )
 SELECT p.traj_id, COUNT(*) AS n,
-       ROUND(QUANTILE_CONT(x, 0.9), {R}) AS x_q90,
-       ROUND(SUM(CAST(ROUND(x * 100) AS BIGINT)) / 100.0 / COUNT(*), {R}) AS x_mean,
+       ROUND(QUANTILE_CONT(x, 0.9), {R}) + 0.0 AS x_q90,
+       ROUND(SUM(CAST(ROUND(x * 100) AS BIGINT)) / 100.0 / COUNT(*), {R}) + 0.0 AS x_mean,
        ANY_VALUE(m.mode_event_type) AS mode_event_type
 FROM pts p JOIN modes m ON p.traj_id = m.traj_id
 GROUP BY p.traj_id
@@ -1372,7 +1376,7 @@ pr AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
          ROUND(list_dot_product(a.v, b.v) /
                GREATEST(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)), 1e-30),
-               6) AS cosine
+               6) + 0.0 AS cosine
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 )
 SELECT doc_a, doc_b, cosine FROM pr WHERE cosine >= 0.999
