@@ -20,8 +20,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from movingspark import cells, clean, derive, generalize, ingest, joins, queries as q, split, stops
+from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins
+from movingspark import io as mio, overlay, queries as q, smooth, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
+from movingspark.pinned_params import (
+    ANGLE_MIN_ANGLE,
+    ANGLE_MIN_SPEED,
+    CLUSTER_MAX_DISTANCE,
+    GEN_MAX_DISTANCE_TOL,
+    GEN_MIN_DISTANCE_TOL,
+    GEN_MIN_TIMEDELTA_S,
+    GEN_TDTR_TOL,
+    KALMAN_MEASUREMENT_STD,
+    KALMAN_PROCESS_STD,
+    KALMAN_TRAJ_MOD,
+    OUTLIER_ALPHA,
+    OVERLAY_FEATURE_PROPS,
+    OVERLAY_POLY,
+    SIG_MAX_DISTANCE,
+    SIG_MIN_ANGLE,
+    SIG_MIN_DISTANCE,
+    SIG_MIN_STOP_S,
+)
 from movingspark.text import lower_ascii as _lower_ascii
 
 R = 5  # rounding decimals for float parity with the DuckDB oracle
@@ -1403,6 +1423,205 @@ def q_generalize_dp(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sequential operators under pinned oracles (tools/gen_pinned_oracles.py):
+# the oracle side is the SAME numpy kernel run single-process over the
+# parquet data, encoded as drop-lists / range VALUES; the driver check
+# then proves the distributed execution reproduces it.
+# ---------------------------------------------------------------------------
+
+
+def _pts4(spark, sf_dir):
+    return _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+
+
+def _pts5(spark, sf_dir):
+    return _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
+
+
+def q_generalize_min_distance(spark, sf_dir):
+    """X8 MinDistanceGeneralizer (trajectory_generalizer.py:61-94)."""
+    return generalize.min_distance(_pts4(spark, sf_dir), tolerance=GEN_MIN_DISTANCE_TOL)
+
+
+def q_generalize_min_timedelta(spark, sf_dir):
+    """X9 MinTimeDeltaGeneralizer (trajectory_generalizer.py:97-130)."""
+    return generalize.min_timedelta(_pts4(spark, sf_dir), tolerance_s=GEN_MIN_TIMEDELTA_S)
+
+
+def q_generalize_max_distance(spark, sf_dir):
+    """X10 MaxDistanceGeneralizer (trajectory_generalizer.py:133-169)."""
+    return generalize.max_distance(_pts4(spark, sf_dir), tolerance=GEN_MAX_DISTANCE_TOL)
+
+
+def q_generalize_tdtr(spark, sf_dir):
+    """X12 TopDownTimeRatio (trajectory_generalizer.py:208-277)."""
+    return generalize.top_down_time_ratio(_pts4(spark, sf_dir), tolerance=GEN_TDTR_TOL)
+
+
+def q_outlier_clean(spark, sf_dir):
+    """X14 OutlierCleaner, default v_max = q95(speed)*alpha
+    (trajectory_cleaner.py:112-172)."""
+    return clean.outlier_clean(_pts4(spark, sf_dir), v_max=None, alpha=OUTLIER_ALPHA)
+
+
+def q_overlay_clip(spark, sf_dir):
+    """X19 overlay clip (reference overlay.py:12-229): entry/exit rows
+    interpolated + µs-reconstructed, 10 ms snap/dissolve, piece re-id.
+    The oracle pins only the dissolved ranges; membership, row synthesis,
+    the <2-row piece filter and renumbering are recomputed by DuckDB."""
+    out = overlay.clip(_pts5(spark, sf_dir), OVERLAY_POLY)
+    return out.select("traj_id", "parent", "t", "x", "y", "event_type")
+
+
+def q_overlay_intersection(spark, sf_dir):
+    """X20/J7 intersection with feature attributes (overlay.py:246-258)."""
+    out = overlay.intersection_with_feature(
+        _pts5(spark, sf_dir), OVERLAY_POLY, OVERLAY_FEATURE_PROPS
+    )
+    return out.select(
+        "traj_id", "parent", "t", "x", "y", "event_type",
+        "intersecting_zone", "intersecting_priority",
+    )
+
+
+def q_split_angle(spark, sf_dir):
+    """X6 AngleChangeSplitter (trajectory_splitter.py:273-343)."""
+    out = split.split_by_angle_change(
+        _pts5(spark, sf_dir), min_angle=ANGLE_MIN_ANGLE, min_speed=ANGLE_MIN_SPEED
+    )
+    return out.select("traj_id", "parent", "t", "x", "y", "event_type")
+
+
+def q_kalman_smooth(spark, sf_dir):
+    """X15 KalmanSmootherCV on a deterministic trajectory subset (the
+    pinned expected values are per-row doubles, so the subset keeps the
+    oracle table small)."""
+    pts = _pts5(spark, sf_dir).filter(
+        F.col("traj_id").cast("int") % KALMAN_TRAJ_MOD == 0
+    )
+    out = smooth.kalman_smooth(
+        pts,
+        process_noise_std=KALMAN_PROCESS_STD,
+        measurement_noise_std=KALMAN_MEASUREMENT_STD,
+    )
+    return out.select("traj_id", "t", "x", "y", "event_type")
+
+
+def q_sig_points(spark, sf_dir):
+    """X16 PtsExtractor significant points (trajectory_aggregator.py:141-191)."""
+    return aggregate.extract_significant_points(
+        _pts4(spark, sf_dir),
+        max_distance=SIG_MAX_DISTANCE,
+        min_distance=SIG_MIN_DISTANCE,
+        min_stop_duration_s=SIG_MIN_STOP_S,
+        min_angle=SIG_MIN_ANGLE,
+    )
+
+
+def q_cluster_centroids(spark, sf_dir):
+    """X17 PointClusterer centroids (point_clusterer.py:11-121) —
+    insertion-order grid clustering over the significant points."""
+    sig = q_sig_points(spark, sf_dir)
+    return aggregate.cluster_significant_points(sig, CLUSTER_MAX_DISTANCE)
+
+
+def q_mfjson_roundtrip(spark, sf_dir):
+    """S3+S4 MF-JSON round trip: export a trajectory subset with
+    to_mf_json (codegen'd to_json projection), assemble a
+    FeatureCollection document, re-read it with the DISTRIBUTED reader
+    (spark.read.json + JVM-side explode). Identity up to second-precision
+    datetimes — the oracle is plain SQL with date_trunc."""
+    import json as _json
+    import os
+    import tempfile
+
+    pts = _pts4(spark, sf_dir).filter(F.col("traj_id").cast("int") % 15 == 0)
+    feats = [
+        _json.loads(r["mf_json"]) for r in q.to_mf_json(pts).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="movingspark_mfjson_")
+    with open(os.path.join(tmp, "fc.json"), "w") as f:
+        _json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return mio.read_mf_json_distributed(spark, tmp, "traj_id")
+
+
+SQL_MFJSON_ROUNDTRIP = f"""
+SELECT traj_id, date_trunc('second', t) AS t, x, y
+FROM ({EVENTS_POINTS_ORACLE_FULL})
+WHERE CAST(traj_id AS INT) % 15 = 0
+"""
+
+
+def q_offset_minutes(spark, sf_dir):
+    """D7 apply_offset_minutes (trajectory.py:1696-1707): x at time t
+    becomes the x observed at t + 2 minutes (time-keyed self-join)."""
+    return derive.apply_offset_minutes(_pts4(spark, sf_dir), "x", 2)
+
+
+SQL_OFFSET_MINUTES = f"""
+WITH pts AS (SELECT traj_id, t, x, y, epoch_us(t) AS us FROM ({EVENTS_POINTS_ORACLE_FULL}))
+SELECT p.traj_id, p.t, s.x AS x, p.y
+FROM pts p LEFT JOIN pts s
+  ON p.traj_id = s.traj_id AND s.us = p.us + 120000000
+"""
+
+
+def q_kinematics_latlon(spark, sf_dir):
+    """G3 haversine under the driver hash: spherical distance + speed
+    over the events points mapped into valid lon/lat ranges. Pure column
+    expressions (codegen) on the Spark side; DuckDB mirrors the formula.
+    Double-rounded 9dp->5dp on both sides (JVM vs C libm trig ulps)."""
+    pts = _events(spark, sf_dir).select(
+        "traj_id", "t",
+        F.col("x").alias("lon"),
+        (F.col("y") * 0.8 - 40.0).alias("lat"),
+    )
+    w = Window.partitionBy("traj_id").orderBy("t")
+    plon, plat = F.lag("lon").over(w), F.lag("lat").over(w)
+    d = derive.haversine_expr(plon, plat, F.col("lon"), F.col("lat"))
+    dt = (F.unix_micros("t") - F.lag(F.unix_micros("t")).over(w)) / F.lit(1_000_000.0)
+    out = (
+        pts.withColumn("dist_m", F.coalesce(d, F.lit(0.0)))
+        .withColumn("speed_ms", F.col("dist_m") / dt)
+    )
+    out = _round2(out.select("traj_id", "t", "lon", "lat", "dist_m", "speed_ms"), ["lat"])
+    # meter-scale values (~5e6): the double ulp there (~1e-9) is the same
+    # size as the 9dp grid, so the tie-robust double-round cannot absorb
+    # JVM-vs-C trig ulps at 5dp — centimeters (2dp) keeps the tie margin
+    # ~1e7x wider than the ulp noise.
+    for c in ("dist_m", "speed_ms"):
+        out = out.withColumn(c, F.round(F.col(c), 2) + F.lit(0.0))
+    return out
+
+
+SQL_KINEMATICS_LATLON = f"""
+WITH pts AS (
+  SELECT traj_id, t, x AS lon, y * 0.8 - 40.0 AS lat, epoch_us(t) AS us
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+base AS (
+  SELECT traj_id, t, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         (us - LAG(us) OVER w) / 1000000.0 AS dt
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+d AS (
+  SELECT *,
+         2.0 * 6371000.0 * ASIN(SQRT(LEAST(
+             POWER(SIN(RADIANS(lat - plat) / 2), 2)
+             + COS(RADIANS(plat)) * COS(RADIANS(lat))
+               * POWER(SIN(RADIANS(lon - plon) / 2), 2), 1.0))) AS hav
+  FROM base
+)
+SELECT traj_id, t, lon,
+       ROUND(ROUND(lat, 9), {R}) + 0.0 AS lat,
+       ROUND(COALESCE(hav, 0.0), 2) + 0.0 AS dist_m,
+       ROUND(COALESCE(hav, 0.0) / dt, 2) + 0.0 AS speed_ms
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1452,6 +1671,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "stop_points": q_stop_points,
         "generalize_dp": q_generalize_dp,
+        "generalize_min_distance": q_generalize_min_distance,
+        "generalize_min_timedelta": q_generalize_min_timedelta,
+        "generalize_max_distance": q_generalize_max_distance,
+        "generalize_tdtr": q_generalize_tdtr,
+        "outlier_clean": q_outlier_clean,
+        "overlay_clip": q_overlay_clip,
+        "overlay_intersection": q_overlay_intersection,
+        "split_angle": q_split_angle,
+        "kalman_smooth": q_kalman_smooth,
+        "sig_points": q_sig_points,
+        "cluster_centroids": q_cluster_centroids,
+        "mfjson_roundtrip": q_mfjson_roundtrip,
+        "offset_minutes": q_offset_minutes,
+        "kinematics_latlon": q_kinematics_latlon,
     }
 
 
@@ -1499,9 +1732,14 @@ def oracle_sql() -> dict[str, str]:
         "traj_export": SQL_TRAJ_EXPORT,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "media_features": SQL_MEDIA_FEATURES,
-        # mcp / stop_points / generalize_dp: sequential kernels with no
-        # closed-form SQL; their oracles are deterministic expected-value
-        # joins generated by tools/gen_pinned_oracles.py (see below).
+        "mfjson_roundtrip": SQL_MFJSON_ROUNDTRIP,
+        "offset_minutes": SQL_OFFSET_MINUTES,
+        "kinematics_latlon": SQL_KINEMATICS_LATLON,
+        # sequential kernels with no closed-form SQL (mcp, stop_points,
+        # the generalizers, overlay clip, angle split, kalman, outlier
+        # clean, significant points, cluster centroids): their oracles
+        # are deterministic expected-value joins generated by
+        # tools/gen_pinned_oracles.py (see below).
         **_pinned_oracles(),
     }
 

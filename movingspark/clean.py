@@ -53,38 +53,48 @@ def outlier_clean(
 
     def per_traj(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(cols.t).reset_index(drop=True)
-        x = pdf[cols.x].to_numpy(float)
-        y = pdf[cols.y].to_numpy(float)
-        t = pdf[cols.t].astype("int64").to_numpy() / 1e9
-        n = len(pdf)
-
-        def speed(i, j):
-            if latlon:
-                d = float(kernels.geodesic(x[i], y[i], x[j], y[j]))
-            else:
-                d = float(np.hypot(x[j] - x[i], y[j] - y[i]))
-            d = d * conv.crs / conv.distance
-            dt = t[j] - t[i]
-            return d / dt * conv.time if dt > 0 else np.inf
-
-        vmax = v_max
-        if vmax is None:
-            # reference: add_speed (first row copies second), q95 * alpha
-            sp = np.empty(n)
-            for i in range(1, n):
-                sp[i] = speed(i - 1, i)
-            sp[0] = sp[1] if n > 1 else 0.0
-            vmax = float(np.quantile(sp, 0.95)) * alpha
-
-        keep = np.ones(n, dtype=bool)
-        prev = 0
-        for i in range(1, n):
-            if speed(prev, i) > vmax:
-                keep[i] = False
-                continue
-            prev = i
-        if keep.sum() < 2 or len(np.unique(t[keep])) < 2:
-            return pdf  # invalid result -> original (trajectory_cleaner.py:160-170)
+        keep = outlier_keep_mask(
+            pdf[cols.x].to_numpy(float),
+            pdf[cols.y].to_numpy(float),
+            pdf[cols.t].astype("int64").to_numpy() / 1e9,
+            v_max, alpha, conv, latlon,
+        )
         return pdf[keep]
 
     return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+
+
+def outlier_keep_mask(x, y, t, v_max, alpha, conv, latlon) -> np.ndarray:
+    """Keep-mask kernel for X14, including the invalid-result fallback
+    (all-True when < 2 distinct-time rows survive). Module-level so the
+    pinned-oracle generator runs the SAME code single-process."""
+    n = len(x)
+
+    def speed(i, j):
+        if latlon:
+            d = float(kernels.geodesic(x[i], y[i], x[j], y[j]))
+        else:
+            d = float(np.hypot(x[j] - x[i], y[j] - y[i]))
+        d = d * conv.crs / conv.distance
+        dt = t[j] - t[i]
+        return d / dt * conv.time if dt > 0 else np.inf
+
+    vmax = v_max
+    if vmax is None:
+        # reference: add_speed (first row copies second), q95 * alpha
+        sp = np.empty(n)
+        for i in range(1, n):
+            sp[i] = speed(i - 1, i)
+        sp[0] = sp[1] if n > 1 else 0.0
+        vmax = float(np.quantile(sp, 0.95)) * alpha
+
+    keep = np.ones(n, dtype=bool)
+    prev = 0
+    for i in range(1, n):
+        if speed(prev, i) > vmax:
+            keep[i] = False
+            continue
+        prev = i
+    if keep.sum() < 2 or len(np.unique(t[keep])) < 2:
+        return np.ones(n, dtype=bool)  # invalid -> original (trajectory_cleaner.py:160-170)
+    return keep

@@ -227,6 +227,12 @@ def add_all_kinematics(df: DataFrame, latlon: bool = False, cols: PointCols = TR
     return df
 
 
+def apply_offset_minutes(df: DataFrame, column: str, offset: int, cols: PointCols = TRAJ_COLS) -> DataFrame:
+    """D7 minutes variant (trajectory.py:1696-1707) — alias of
+    apply_offset_seconds with a 60x factor."""
+    return apply_offset_seconds(df, column, int(offset) * 60, cols=cols)
+
+
 def apply_offset_seconds(df: DataFrame, column: str, offset: int, cols: PointCols = TRAJ_COLS) -> DataFrame:
     """D7 (trajectory.py:1683-1707): shift a column's values backward
     along the time axis by `offset` seconds — the value at time t becomes

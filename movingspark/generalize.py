@@ -46,44 +46,47 @@ def _grouped_filter(df: DataFrame, mask_fn, cols: PointCols) -> DataFrame:
     return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
 
 
+def min_distance_mask(x, y, tolerance: float, latlon: bool = False) -> np.ndarray:
+    """Keep-mask kernel for X8; module-level so the pinned-oracle
+    generator runs the SAME code single-process (tools/gen_pinned_oracles.py)."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    px, py = x[0], y[0]
+    for i in range(n):
+        if latlon:
+            d = float(kernels.geodesic(px, py, x[i], y[i]))
+        else:
+            d = float(np.hypot(x[i] - px, y[i] - py))
+        if d >= tolerance:
+            keep[i] = True
+            px, py = x[i], y[i]
+    return keep
+
+
 def min_distance(df: DataFrame, tolerance: float, latlon: bool = False, cols: PointCols = TRAJ_COLS) -> DataFrame:
     """X8 (trajectory_generalizer.py:61-94): keep a row when its distance
     to the last KEPT row >= tolerance; row 0 and the last row always kept."""
+    return _grouped_filter(df, lambda x, y, t: min_distance_mask(x, y, tolerance, latlon), cols)
 
-    def mask(x, y, t):
-        n = len(x)
-        keep = np.zeros(n, dtype=bool)
-        keep[0] = keep[n - 1] = True
-        px, py = x[0], y[0]
-        for i in range(n):
-            if latlon:
-                d = float(kernels.geodesic(px, py, x[i], y[i]))
-            else:
-                d = float(np.hypot(x[i] - px, y[i] - py))
-            if d >= tolerance:
-                keep[i] = True
-                px, py = x[i], y[i]
-        return keep
 
-    return _grouped_filter(df, mask, cols)
+def min_timedelta_mask(t, tolerance_s: float) -> np.ndarray:
+    """Keep-mask kernel for X9 (shared with the pinned-oracle generator)."""
+    n = len(t)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    pt = t[0]
+    for i in range(n):
+        if t[i] - pt >= tolerance_s:
+            keep[i] = True
+            pt = t[i]
+    return keep
 
 
 def min_timedelta(df: DataFrame, tolerance_s: float, cols: PointCols = TRAJ_COLS) -> DataFrame:
     """X9 (trajectory_generalizer.py:97-130): keep a row when Δt to the
     last KEPT row >= tolerance; row 0 and the last row always kept."""
-
-    def mask(x, y, t):
-        n = len(t)
-        keep = np.zeros(n, dtype=bool)
-        keep[0] = keep[n - 1] = True
-        pt = t[0]
-        for i in range(n):
-            if t[i] - pt >= tolerance_s:
-                keep[i] = True
-                pt = t[i]
-        return keep
-
-    return _grouped_filter(df, mask, cols)
+    return _grouped_filter(df, lambda x, y, t: min_timedelta_mask(t, tolerance_s), cols)
 
 
 def max_distance(df: DataFrame, tolerance: float, cols: PointCols = TRAJ_COLS) -> DataFrame:
@@ -92,31 +95,32 @@ def max_distance(df: DataFrame, tolerance: float, cols: PointCols = TRAJ_COLS) -
     deviates > tolerance from the chord. Ported loop-exact, including the
     reference's keep-index behavior (keeps the row BEFORE the splitting
     point) and always keeping first and last rows."""
+    return _grouped_filter(df, lambda x, y, t: max_distance_mask(x, y, tolerance), cols)
 
-    def mask(x, y, t):
-        n = len(x)
-        keep_rows = [0]
-        pts_ix: list[int] = []
-        ax, ay = x[0], y[0]
-        i = 0
-        for j in range(1, n):
-            if pts_ix:
-                d = _point_seg_dist(x[pts_ix], y[pts_ix], ax, ay, x[j], y[j])
-                exceeded = bool((d > tolerance).any())
-            else:
-                exceeded = False
-            if exceeded:
-                ax, ay = x[j], y[j]
-                pts_ix.clear()
-                keep_rows.append(i)
-            pts_ix.append(j)
-            i += 1
-        keep_rows.append(i)
-        keep = np.zeros(n, dtype=bool)
-        keep[np.array(keep_rows)] = True
-        return keep
 
-    return _grouped_filter(df, mask, cols)
+def max_distance_mask(x, y, tolerance: float) -> np.ndarray:
+    """Keep-mask kernel for X10 (shared with the pinned-oracle generator)."""
+    n = len(x)
+    keep_rows = [0]
+    pts_ix: list[int] = []
+    ax, ay = x[0], y[0]
+    i = 0
+    for j in range(1, n):
+        if pts_ix:
+            d = _point_seg_dist(x[pts_ix], y[pts_ix], ax, ay, x[j], y[j])
+            exceeded = bool((d > tolerance).any())
+        else:
+            exceeded = False
+        if exceeded:
+            ax, ay = x[j], y[j]
+            pts_ix.clear()
+            keep_rows.append(i)
+        pts_ix.append(j)
+        i += 1
+    keep_rows.append(i)
+    keep = np.zeros(n, dtype=bool)
+    keep[np.array(keep_rows)] = True
+    return keep
 
 
 def douglas_peucker(df: DataFrame, tolerance: float, cols: PointCols = TRAJ_COLS) -> DataFrame:

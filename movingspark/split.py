@@ -163,6 +163,22 @@ def split_temporally(
     return _finalize(base.unionByName(boundary), "__piece", min_length, latlon, cols)
 
 
+def angle_change_groups(dirs, spds, min_angle: float, min_speed: float) -> np.ndarray:
+    """Sequential group assignment for X6: comp_dir updates only when a
+    split fires. Module-level so the pinned-oracle generator runs the
+    SAME code single-process (tools/gen_pinned_oracles.py)."""
+    comp_dir = dirs[0]
+    group = 0
+    groups = np.zeros(len(dirs), dtype=np.int64)
+    for i in range(len(dirs)):
+        if spds[i] >= min_speed:
+            if kernels.angular_difference(comp_dir, dirs[i]) >= min_angle:
+                comp_dir = dirs[i]
+                group += 1
+        groups[i] = group
+    return groups
+
+
 def split_by_angle_change(
     df: DataFrame,
     min_angle: float = 45,
@@ -190,17 +206,9 @@ def split_by_angle_change(
 
     def per_traj(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(cols.t).reset_index(drop=True)
-        dirs = pdf[dircol].to_numpy(float)
-        spds = pdf[spcol].to_numpy(float)
-        comp_dir = dirs[0]
-        group = 0
-        groups = np.zeros(len(pdf), dtype=np.int64)
-        for i in range(len(pdf)):
-            if spds[i] >= min_speed:
-                if kernels.angular_difference(comp_dir, dirs[i]) >= min_angle:
-                    comp_dir = dirs[i]
-                    group += 1
-            groups[i] = group
+        groups = angle_change_groups(
+            pdf[dircol].to_numpy(float), pdf[spcol].to_numpy(float), min_angle, min_speed
+        )
         tid = pdf[tcol].iloc[0]
         pieces = []
         bounds = np.flatnonzero(np.diff(groups)) + 1
