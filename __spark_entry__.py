@@ -1114,6 +1114,25 @@ SELECT query_id, vec_id, sim, rk FROM (
 """
 
 
+def q_ann_topk_scale(spark, sf_dir):
+    """Library scale path for ANN top-k (similarity.brute_force_topk):
+    vectorized matmul scoring + two-phase distributed top-k (per-partition
+    local top-k, then a merge over <= n_partitions*k survivors — no
+    full-corpus shuffle keyed only by query_id). Rows-only driver check:
+    the numpy matmul partial-sum order is not reproducible in DuckDB's
+    sequential list fold, so sim values can differ in the last ulp."""
+    import numpy as np
+
+    from movingspark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=float) for r in qrows}
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
 def q_split_value_change(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y", "event_type")
     out = split.split_by_value_change(pts, "event_type")
@@ -1660,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
+        "ann_topk_scale": q_ann_topk_scale,
         "split_value_change": q_split_value_change,
         "split_speed": q_split_speed,
         "min_length_filter": q_min_length_filter,

@@ -138,7 +138,7 @@ def extract_significant_points(
 
 def cluster_significant_points(
     sig: DataFrame, max_distance: float, latlon: bool = False,
-    max_points: int = 5_000_000,
+    max_points: int = 5_000_000, scale_fallback: bool = True,
 ) -> DataFrame:
     """X17: insertion-order-dependent grid clustering. The reference
     processes points in collection order; we fix that order to
@@ -148,25 +148,56 @@ def cluster_significant_points(
     max_points guards the driver: significant points are normally a tiny
     fraction of the input, but a pathological input (dense turns) can
     make them ~= all points and OOM the driver on collect(). The count
-    check costs one cheap aggregate; callers that truly need more raise
-    the cap explicitly (and should budget driver memory accordingly —
-    ~48 bytes/point) or pre-thin with extract_significant_points
-    parameters."""
+    check costs one cheap aggregate (~48 bytes/point driver memory when
+    under it).
+
+    Above the cap, scale_fallback=True switches to a two-level scheme —
+    per-partition grid clustering (insertion order preserved WITHIN each
+    partition) followed by a weighted driver-side merge of the partial
+    centroids. This is a DOCUMENTED DEVIATION from the reference's
+    strict global insertion order: centroids differ by at most the
+    within-cell averaging order, cluster count and memberships stay
+    grid-accurate, and the driver only ever sees per-partition centroid
+    summaries (bounded by corpus_area/cell^2 per partition), never the
+    points. Pass scale_fallback=False to get the old hard error."""
     n = sig.count()
-    if n > max_points:
+    if n <= max_points:
+        pts = [
+            (r["x"], r["y"])
+            for r in sig.orderBy("traj_id", "seq").select("x", "y").collect()
+        ]
+        clusters = grid_cluster(pts, max_distance, latlon)
+    elif not scale_fallback:
         raise ValueError(
             f"{n} significant points exceed max_points={max_points}; the "
             "insertion-order grid clustering runs driver-side (reference "
-            "point_clusterer.py semantics). Raise max_points deliberately "
-            "or tighten the significant-point thresholds."
+            "point_clusterer.py semantics). Raise max_points deliberately, "
+            "tighten the significant-point thresholds, or allow "
+            "scale_fallback."
         )
-    pts = [
-        (r["x"], r["y"])
-        for r in sig.orderBy("traj_id", "seq").select("x", "y").collect()
-    ]
-    clusters = grid_cluster(pts, max_distance, latlon)
+    else:
+        def per_part(batches):
+            chunks = [pdf for pdf in batches]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["traj_id", "seq"])
+            part = grid_cluster(list(zip(pdf["x"], pdf["y"])), max_distance, latlon)
+            if part:
+                yield pd.DataFrame(
+                    {"cx": [c[0] for c in part], "cy": [c[1] for c in part],
+                     "n": [c[2] for c in part]}
+                )
+
+        partial = sig.select("traj_id", "seq", "x", "y").mapInPandas(
+            per_part, schema="cx double, cy double, n long"
+        ).collect()
+        clusters = grid_cluster_weighted(
+            [(r["cx"], r["cy"]) for r in partial],
+            [int(r["n"]) for r in partial],
+            max_distance, latlon,
+        )
     rows = [
-        (f"c{i}", float(cx), float(cy), int(n)) for i, (cx, cy, n) in enumerate(clusters)
+        (f"c{i}", float(cx), float(cy), int(cn)) for i, (cx, cy, cn) in enumerate(clusters)
     ]
     return sig.sparkSession.createDataFrame(
         rows, "cluster_id string, cx double, cy double, n long"
@@ -232,6 +263,72 @@ def grid_cluster(points, max_distance, latlon=False):
             cells[c[0]][c[1]]["points"].append((px, py))
 
     return [(g["cx"], g["cy"], len(g["points"])) for g in clusters]
+
+
+def grid_cluster_weighted(points, weights, max_distance, latlon=False):
+    """Weighted variant of grid_cluster for the scale fallback: each
+    input point is a pre-aggregated partial centroid carrying `weight`
+    original points. Same grid/nearest-neighbor/redistribute structure;
+    centroid updates use the weighted mean, counts sum the weights.
+    Kept SEPARATE from grid_cluster so the reference-exact insertion
+    path's float behavior (pinned by the driver oracle) is untouched."""
+    if not points:
+        return []
+    xs = np.array([p[0] for p in points])
+    ys = np.array([p[1] for p in points])
+    minx, miny, maxx, maxy = xs.min(), ys.min(), xs.max(), ys.max()
+    cell_size = max_distance / C_EARTH * 360 if latlon else max_distance
+    n_rows = max(1, math.ceil((maxy - miny) / cell_size))
+    n_cols = max(1, math.ceil((maxx - minx) / cell_size))
+    cells = [[None] * n_rows for _ in range(n_cols)]
+    clusters = []
+
+    def grid_pos(px, py):
+        # clamped: a max-coordinate point on an exactly-divisible span
+        # would index one past the last cell
+        return (
+            min(int(math.floor((px - minx) / cell_size)), n_cols - 1),
+            min(int(math.floor((py - miny) / cell_size)), n_rows - 1),
+        )
+
+    def closest(px, py, max_dist):
+        i, j = grid_pos(px, py)
+        best = None
+        shortest = cell_size * 100
+        for k in range(max(i - 1, 0), min(i + 2, n_cols)):
+            for m in range(max(j - 1, 0), min(j + 2, n_rows)):
+                g = cells[k][m]
+                if g is None:
+                    continue
+                d = math.hypot(px - g["cx"], py - g["cy"])
+                if d <= max_dist and d < shortest:
+                    best = (k, m)
+                    shortest = d
+        return best
+
+    for (px, py), w in zip(points, weights):
+        c = closest(px, py, cell_size)
+        if c is None:
+            g = {"sx": px * w, "sy": py * w, "sw": w, "cx": px, "cy": py}
+            clusters.append(g)
+            i, j = grid_pos(px, py)
+            cells[i][j] = g
+        else:
+            g = cells[c[0]][c[1]]
+            g["sx"] += px * w
+            g["sy"] += py * w
+            g["sw"] += w
+            g["cx"] = g["sx"] / g["sw"]
+            g["cy"] = g["sy"] / g["sw"]
+
+    for g in clusters:
+        g["n"] = 0
+    for (px, py), w in zip(points, weights):
+        c = closest(px, py, cell_size * 20)
+        if c is not None:
+            cells[c[0]][c[1]]["n"] += w
+
+    return [(g["cx"], g["cy"], g["n"]) for g in clusters]
 
 
 # ---------------------------------------------------------------------------

@@ -44,10 +44,28 @@ def cosine_udf(queries: dict[int, np.ndarray]):
     return qids, sims
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed final top-k over (query_id, vec_id, sim) rows.
+
+    Written as the declarative row_number-window + filter so Catalyst
+    rewrites it into a TWO-PHASE top-k: the physical plan contains
+    WindowGroupLimit(Partial) BELOW the (query_id) exchange — each map
+    task prunes its partition to its local top-k per query BEFORE the
+    shuffle, so the exchange carries <= n_partitions * k rows per query,
+    never the full scored corpus (the naive interpretation — every
+    scored row of a query on one reducer — would be a straggler by
+    construction at scale). This JVM-side rewrite beats a hand-rolled
+    mapInPandas local-heap reduction, which pays a second Arrow
+    round-trip through Python for the same pruning.
+    tests/test_plans.py pins the WindowGroupLimit-before-Exchange shape."""
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def brute_force_topk(corpus: DataFrame, queries: dict[int, np.ndarray], k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query over the whole corpus. One scan, one
-    vectorized matmul per Arrow batch, a top-k window per query."""
+    vectorized matmul per Arrow batch, two-phase distributed top-k."""
     qids, sims = cosine_udf(queries)
     scored = corpus.select(
         F.col(id_col), sims(F.col(vec_col)).alias("sims")
@@ -56,15 +74,10 @@ def brute_force_topk(corpus: DataFrame, queries: dict[int, np.ndarray], k: int =
         F.posexplode("sims").alias("qi", "sim"),
     ).select(
         F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("qi") + 1).alias("query_id"),
-        F.col(id_col).alias("vec_id2"),
+        F.col(id_col).alias("vec_id"),
         F.round("sim", 6).alias("sim"),
-    ).filter(F.col("query_id") != F.col("vec_id2"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id2").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .withColumnRenamed("vec_id2", "vec_id")
-    )
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    return _topk_per_query(scored.select("query_id", "vec_id", "sim"), k)
 
 
 def train_centroids(corpus: DataFrame, n_centroids: int, iters: int = 5,
@@ -117,6 +130,13 @@ def ivf_topk(corpus: DataFrame, queries: dict[int, np.ndarray], k: int = 10,
     probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
 
     cand = bucketed.join(F.broadcast(probes), "bucket")
+    return _score_and_topk(cand, queries, k, id_col, vec_col)
+
+
+def _score_and_topk(cand: DataFrame, queries: dict[int, np.ndarray], k: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF tail: cosine against each candidate's probing query,
+    then the two-phase top-k."""
     qids, sims = cosine_udf(queries)
     qpos = {q: i for i, q in enumerate(qids)}
     pos_expr = F.element_at(
@@ -126,14 +146,57 @@ def ivf_topk(corpus: DataFrame, queries: dict[int, np.ndarray], k: int = 10,
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.element_at(sims(F.col(vec_col)), pos_expr + 1).alias("sim"),
+        F.round(F.element_at(sims(F.col(vec_col)), pos_expr + 1), 6).alias("sim"),
     ).filter(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("sim", F.round("sim", 6))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    return _topk_per_query(scored, k)
+
+
+def write_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the IVF index on disk: the corpus written
+    partitionBy('bucket') (one directory per coarse-quantizer cell —
+    with Iceberg this is an identity partition transform and the same
+    pruning applies) plus a tiny centroids table. At probe time the
+    bucket IN-list lands in the scan's PartitionFilters, so a query
+    physically reads only nprobe/n_centroids of the corpus files."""
+    C = train_centroids(corpus, n_centroids, vec_col=vec_col)
+    bucket = assign_bucket_udf(C)
+    corpus.withColumn("bucket", bucket(F.col(vec_col))).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/corpus")
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in C[i]]) for i in range(len(C))],
+        "bucket int, centroid array<double>",
     )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return C
+
+
+def ivf_topk_indexed(spark, path: str, queries: dict[int, np.ndarray], k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Probe an on-disk IVF index written by write_ivf_index. The probed
+    bucket list is pushed as a partition filter — the scan's file
+    listing prunes to the nprobe directories (PartitionFilters in the
+    explain; tests assert the touched-file count), which is the whole
+    point of IVF at 100 TB: the index turns a full-corpus scan into
+    nprobe/n_centroids of it."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    dim = len(crows[0]["centroid"])
+    C = np.zeros((len(crows), dim), dtype=np.float64)
+    for r in crows:
+        C[r["bucket"]] = np.asarray(r["centroid"], dtype=np.float64)
+    probe_rows = []
+    for qid, qv in queries.items():
+        d = ((C - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        for b in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(qid), int(b)))
+    buckets = sorted({b for _, b in probe_rows})
+    corpus = spark.read.parquet(f"{path}/corpus").filter(F.col("bucket").isin(buckets))
+    probes = spark.createDataFrame(probe_rows, "query_id int, bucket int")
+    cand = corpus.join(F.broadcast(probes), "bucket")
+    return _score_and_topk(cand, queries, k, id_col, vec_col)
 
 
 def simhash_bucket(corpus: DataFrame, n_planes: int = 8, vec_col: str = "embedding",

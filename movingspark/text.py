@@ -126,7 +126,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
     cache_index: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
@@ -134,16 +134,18 @@ def ngram_jaccard_pairs(
     pair -> Jaccard = common / (|A| + |B| - common). Shuffles on shingle
     hash — pair candidates only materialize for docs sharing shingles.
 
-    max_doc_freq: corpus-scale guard. Shingles appearing in more than
-    this many documents (stopword runs: "of the and") are EXCLUDED from
-    the inverted index, because a shingle with DF=d contributes d^2/2
-    candidate rows — quadratic blowup on exactly the shingles that carry
-    no near-dup signal. Candidate pairs then come from the capped index,
-    and the Jaccard is recomputed EXACTLY from the full shingle arrays
-    (array_intersect on the candidate pairs only), so reported scores
-    are unchanged; only pairs whose overlap is exclusively hot shingles
-    can be missed (documented recall trade — such pairs are far below
-    any near-dup threshold in practice)."""
+    max_doc_freq: corpus-scale guard, ON BY DEFAULT (1000). Shingles
+    appearing in more than this many documents (stopword runs: "of the
+    and") are EXCLUDED from the inverted index, because a shingle with
+    DF=d contributes d^2/2 candidate rows — quadratic blowup on exactly
+    the shingles that carry no near-dup signal. Candidate pairs then
+    come from the capped index, and the Jaccard is recomputed EXACTLY
+    from the full shingle arrays (array_intersect on the candidate pairs
+    only), so reported scores are unchanged; only pairs whose overlap is
+    exclusively hot shingles can be missed (documented recall trade —
+    such pairs are far below any near-dup threshold in practice). Pass
+    None to opt OUT (all-pairs over the uncapped index: only safe on
+    corpora known to have no high-DF shingles)."""
     # Shingle via words-projection + exploded index + per-row slice —
     # NOT transform(sequence, lambda): a captured split() inside a HOF
     # lambda re-evaluates the regex tokenization per ELEMENT on the
@@ -262,6 +264,7 @@ def minhash_band_pairs(
     n_bands: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_band_bucket: int | None = 2000,
 ) -> DataFrame:
     """b x r banded MinHash LSH candidate pairs (the real near-dup
     detector; a single band of k minhashes has recall J^k — 0.41 at
@@ -269,7 +272,16 @@ def minhash_band_pairs(
     at b=8, r=2). Each of the b*r hash families takes a map-side partial
     min over the exploded shingles; docs sharing ANY band bucket become
     one candidate pair (exploded band join, distinct across bands).
-    Output: (doc_a, doc_b) candidates for exact verification."""
+    Output: (doc_a, doc_b) candidates for exact verification.
+
+    max_band_bucket: corpus-scale guard, ON BY DEFAULT (2000). A
+    degenerate band bucket (thousands of boilerplate-identical docs
+    sharing a band key) would emit |bucket|^2/2 pairs from the self-join.
+    Buckets larger than the cap are diverted to a CHAIN path instead:
+    docs sorted within the bucket and linked consecutively — linear in
+    bucket size, and connectivity-preserving, so a downstream dedup
+    union-find groups the same documents; only the (quadratic) explicit
+    pair list is thinned. Pass None to opt out."""
     n_hash = n_bands * rows_per_band
     words = F.split(lower_ascii(F.col(text_col)), "\\s+")
     base = df.select(F.col(id_col).alias("doc"), words.alias("words"))
@@ -302,15 +314,31 @@ def minhash_band_pairs(
     keyed = sig.select("doc", F.explode(bands).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    if max_band_bucket is not None:
+        from pyspark.sql import Window
+
+        # window count over (band, key) — same single shuffle the join
+        # needs anyway, no extra aggregate-and-join round trip
+        wcount = Window.partitionBy("band", "key")
+        keyed = keyed.withColumn("__bn", F.count("*").over(wcount))
+        small = keyed.filter(F.col("__bn") <= max_band_bucket).drop("__bn")
+        wchain = Window.partitionBy("band", "key").orderBy("doc")
+        chain = (
+            keyed.filter(F.col("__bn") > max_band_bucket)
+            .withColumn("__prev", F.lag("doc").over(wchain))
+            .filter(F.col("__prev").isNotNull())
+            .select(F.col("__prev").alias("doc_a"), F.col("doc").alias("doc_b"))
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    else:
+        small, chain = keyed, None
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()

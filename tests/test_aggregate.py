@@ -97,3 +97,42 @@ def test_grid_cluster_degenerate_lines():
     pts = [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0)]
     out = aggregate.grid_cluster(pts, 10)
     assert len(out) == 1 and out[0][2] == 3
+
+
+def test_cluster_scale_fallback_two_level(spark):
+    """Above max_points the clustering switches to per-partition
+    pre-cluster + weighted driver merge instead of a hard error. Two
+    well-separated blobs must come out as two clusters with the exact
+    total membership; below the cap semantics are unchanged."""
+    rows = []
+    seq = 0
+    for tid in range(4):
+        for i in range(25):
+            # blob A near (0,0), blob B near (1000,1000)
+            rows.append((str(tid), seq, 0.0 + (i % 5) * 0.5, 0.0 + (i // 5) * 0.5))
+            rows.append((str(tid), seq + 1, 1000.0 + (i % 5) * 0.5, 1000.0 + (i // 5) * 0.5))
+            seq += 2
+    sig = spark.createDataFrame(rows, "traj_id string, seq long, x double, y double")
+
+    # force the fallback with a tiny cap
+    out = aggregate.cluster_significant_points(sig, max_distance=10.0, max_points=10)
+    got = out.collect()
+    assert len(got) == 2
+    assert sorted(int(r["n"]) for r in got) == [100, 100]
+    cents = sorted((r["cx"], r["cy"]) for r in got)
+    assert abs(cents[0][0] - 1.0) < 1.5 and abs(cents[1][0] - 1001.0) < 1.5
+
+    # hard error still available on request
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        aggregate.cluster_significant_points(
+            sig, max_distance=10.0, max_points=10, scale_fallback=False
+        )
+
+    # below the cap: exact driver-side path unchanged vs grid_cluster
+    small = aggregate.cluster_significant_points(sig, max_distance=10.0)
+    pts = [(r["x"], r["y"]) for r in sig.orderBy("traj_id", "seq").collect()]
+    want = aggregate.grid_cluster(pts, 10.0)
+    got_small = [(r["cx"], r["cy"], r["n"]) for r in small.orderBy("cluster_id").collect()]
+    assert [(c[0], c[1], c[2]) for c in want] == got_small

@@ -144,6 +144,59 @@ def test_minhash_banded_recovers_08_jaccard(spark):
     assert want <= verified
 
 
+def test_minhash_band_bucket_cap_linear(spark):
+    """A degenerate band bucket (identical boilerplate docs) must NOT
+    emit |bucket|^2/2 pairs: above max_band_bucket the bucket switches to
+    a consecutive chain (linear, connectivity-preserving), while planted
+    genuine near-dups outside the hot bucket are still recovered."""
+    import random
+
+    from movingspark.text import minhash_band_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [(f"boiler{i:03d}", "exact same boilerplate text repeated verbatim") for i in range(60)]
+    planted = []
+    for d in range(3):
+        words = [vocab[rng.randrange(500)] for _ in range(120)]
+        rows.append((f"orig{d}", " ".join(words)))
+        dup = list(words)
+        for _ in range(12):
+            dup[rng.randrange(120)] = vocab[rng.randrange(500)]
+        rows.append((f"dup{d}", " ".join(dup)))
+        planted.append(tuple(sorted((f"orig{d}", f"dup{d}"))))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(docs, "doc_id", "text", max_band_bucket=10).collect()
+    }
+    # planted near-dups still found
+    assert set(planted) <= capped
+    # the 60-doc identical bucket contributes a 59-edge chain, not 1770
+    # pairs: total candidates stay linear in the bucket size
+    boiler_pairs = [p for p in capped if p[0].startswith("boiler")]
+    assert len(boiler_pairs) == 59
+    # chain connectivity: union-find over the chain groups all 60 docs
+    parent = {f"boiler{i:03d}": f"boiler{i:03d}" for i in range(60)}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in boiler_pairs:
+        parent[find(a)] = find(b)
+    assert len({find(f"boiler{i:03d}") for i in range(60)}) == 1
+    # uncapped path (opt-out) really is quadratic on the same input
+    full = minhash_band_pairs(docs, "doc_id", "text", max_band_bucket=None)
+    n_full_boiler = sum(
+        1 for r in full.collect() if r["doc_a"].startswith("boiler")
+    )
+    assert n_full_boiler == 60 * 59 // 2
+
+
 def test_ngram_jaccard_doc_freq_cap(spark):
     """max_doc_freq drops corpus-hot shingles from the inverted index but
     reported Jaccard stays EXACT (recomputed from full shingle sets)."""
@@ -157,7 +210,7 @@ def test_ngram_jaccard_doc_freq_cap(spark):
         ("d4", "seven eight nine ten eleven twelve of the and"),
     ]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
-    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, max_doc_freq=None)
     capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, max_doc_freq=2)
     fm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()}
     cm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
@@ -203,3 +256,54 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert len(rows) >= refs.count()
     assert all(r["frame_index"] % 10 == 0 for r in rows)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The on-disk IVF index must physically prune the scan: probing
+    nprobe of n_centroids buckets touches ONLY the probed partition
+    directories' files, and the probe results match the in-memory IVF
+    path on the same corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(8) + (i % 8)).tolist()) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(corpus, path, n_centroids=8)
+
+    queries = {0: np.asarray(rows[0][1]), 5: np.asarray(rows[5][1])}
+    out = similarity.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+
+    # partition filter present in the plan
+    import io as _io, contextlib as _ctx
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # the files actually touched are a strict subset: only probed dirs
+    probed = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("bucket").isin([0, 1, 2, 3, 4, 5, 6, 7])
+    )
+    all_files = {r[0] for r in probed.select(F.input_file_name()).distinct().collect()}
+    C = np.vstack([r["centroid"] for r in
+                   sorted(spark.read.parquet(f"{path}/centroids").collect(),
+                          key=lambda r: r["bucket"])])
+    want_buckets = set()
+    for qv in queries.values():
+        d = ((C - qv) ** 2).sum(axis=1)
+        want_buckets |= set(np.argsort(d)[:2].tolist())
+    pruned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("bucket").isin(sorted(int(b) for b in want_buckets))
+    )
+    touched = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert touched < all_files  # strict subset: pruning really skipped files
+    # every touched file lives under a probed bucket directory
+    assert all(any(f"bucket={b}/" in f for b in want_buckets) for f in touched)
+
+    # results agree with the in-memory IVF path (same deterministic quantizer)
+    mem = similarity.ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=2)
+    got = {(r["query_id"], r["vec_id"], r["rk"]) for r in out.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rk"]) for r in mem.collect()}
+    assert got == want

@@ -98,3 +98,34 @@ def test_add_simhash_single_exchange_partial_agg_no_python(spark):
     assert n_exchanges(plan) == 1, plan
     assert "Join" not in plan
     assert _no_python_exec(plan)
+
+
+def test_ann_topk_partial_window_group_limit_before_exchange(spark):
+    """ANN final top-k must be two-phase: Catalyst's WindowGroupLimit
+    (Partial) prunes each map partition to its local top-k per query
+    BEFORE the (query_id) exchange, so the shuffle carries
+    <= n_partitions * k rows per query — never the full scored corpus."""
+    import numpy as np
+
+    from movingspark import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(similarity.brute_force_topk(corpus, {0: np.array([1.0, 0.0, 0.0])}, k=3))
+    lines = plan.splitlines()
+    # operator numbering follows execution order (leaves first): the
+    # Partial WindowGroupLimit must execute BEFORE the query_id exchange
+    partial_no = None
+    exch_no = None
+    for i, ln in enumerate(lines):
+        m = re.match(r"^\((\d+)\) WindowGroupLimit", ln)
+        if m and any("Partial" in x for x in lines[i:i + 3]):
+            partial_no = int(m.group(1))
+        m = re.match(r"^\((\d+)\) Exchange", ln)
+        if m and any("query_id" in x for x in lines[i:i + 3]):
+            exch_no = int(m.group(1))
+    assert partial_no is not None, plan
+    assert exch_no is not None, plan
+    assert partial_no < exch_no, plan
