@@ -41,6 +41,8 @@ from movingspark.pinned_params import (
     SIG_MIN_ANGLE,
     SIG_MIN_DISTANCE,
     SIG_MIN_STOP_S,
+    STOP_MAX_DIAMETER,
+    STOP_MIN_DURATION_S,
 )
 from movingspark.text import lower_ascii as _lower_ascii
 
@@ -1511,6 +1513,20 @@ def q_split_angle(spark, sf_dir):
     return out.select("traj_id", "parent", "t", "x", "y", "event_type")
 
 
+def q_split_stop(spark, sf_dir):
+    """X5 StopSplitter (trajectory_splitter.py:231-270): split each
+    trajectory at detected stops. Only the sequential detector's stop
+    boundary decisions are pinned (tools/gen_pinned_oracles.py); the
+    complement-range pairing, broadcast range join, piece filter and
+    '{id}_{start_t}' naming are recomputed independently by DuckDB."""
+    out = split.split_by_stops(
+        _pts5(spark, sf_dir),
+        max_diameter=STOP_MAX_DIAMETER,
+        min_duration_s=STOP_MIN_DURATION_S,
+    )
+    return out.select("traj_id", "parent", "t", "x", "y", "event_type")
+
+
 def q_kalman_smooth(spark, sf_dir):
     """X15 KalmanSmootherCV on a deterministic trajectory subset (the
     pinned expected values are per-row doubles, so the subset keeps the
@@ -1699,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clip": q_overlay_clip,
         "overlay_intersection": q_overlay_intersection,
         "split_angle": q_split_angle,
+        "split_stop": q_split_stop,
         "kalman_smooth": q_kalman_smooth,
         "sig_points": q_sig_points,
         "cluster_centroids": q_cluster_centroids,

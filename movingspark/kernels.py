@@ -21,6 +21,8 @@ Parity targets (reference files):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from movingspark.schema import R_EARTH, WGS84_A, WGS84_F
@@ -50,7 +52,10 @@ def geodesic(lon1, lat1, lon2, lat2, iterations=60, tol=1e-12):
     Matches geopy's Karney geodesic (geometry_utils.py:59-85) to well
     under the reference test tolerance (~1 m at ~676 km,
     test_trajectory.py:712-717); Vincenty agrees with Karney to <1 mm
-    except for nearly-antipodal pairs, where we fall back to haversine.
+    except for nearly-antipodal pairs, which are re-solved exactly by
+    shooting with the always-convergent direct problem
+    (_geodesic_antipodal; matches Karney 2013's nearly-antipodal
+    example to ~3 um).
     """
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
@@ -117,10 +122,120 @@ def geodesic(lon1, lat1, lon2, lat2, iterations=60, tol=1e-12):
 
     same = (lon1 == lon2) & (lat1 == lat2)
     dist = np.where(same, 0.0, dist)
-    # non-converged (near-antipodal): haversine fallback
+    # non-converged (nearly antipodal, where Vincenty's inverse lambda
+    # iteration diverges): solve each pair exactly by shooting with the
+    # ALWAYS-convergent Vincenty direct problem (scalar loop — these
+    # pairs are vanishingly rare in trajectory data)
     if active.any():
-        dist = np.where(active & ~same, haversine(lon1, lat1, lon2, lat2), dist)
+        bad = np.nonzero(active & ~same)
+        flat = dist.copy() if dist.shape else np.atleast_1d(dist).copy()
+        lo1, la1 = np.broadcast_to(lon1, flat.shape), np.broadcast_to(lat1, flat.shape)
+        lo2, la2 = np.broadcast_to(lon2, flat.shape), np.broadcast_to(lat2, flat.shape)
+        for idx in zip(*bad):
+            flat[idx] = _geodesic_antipodal(
+                float(lo1[idx]), float(la1[idx]), float(lo2[idx]), float(la2[idx])
+            )
+        dist = flat if dist.shape else flat[0]
     return dist
+
+
+def _vincenty_direct(lat1, lon1, alpha1, s):
+    """WGS84 direct problem (scalar, radians): from (lat1, lon1) with
+    initial azimuth alpha1 travel s meters; return (lat2, lon2). The
+    direct sigma iteration converges for all inputs (standard Vincenty
+    1975 formulation — public domain formulas)."""
+    a, f = WGS84_A, WGS84_F
+    b = a * (1.0 - f)
+    U1 = math.atan((1.0 - f) * math.tan(lat1))
+    sinU1, cosU1 = math.sin(U1), math.cos(U1)
+    sina1, cosa1 = math.sin(alpha1), math.cos(alpha1)
+    sigma1 = math.atan2(math.tan(U1), cosa1)
+    sin_alpha = cosU1 * sina1
+    cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    sigma = s / (b * A)
+    for _ in range(200):
+        two_sm = 2.0 * sigma1 + sigma
+        cos2sm = math.cos(two_sm)
+        sin_s, cos_s = math.sin(sigma), math.cos(sigma)
+        d_sigma = B * sin_s * (
+            cos2sm
+            + B / 4.0 * (
+                cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+                - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_s * sin_s) * (-3.0 + 4.0 * cos2sm * cos2sm)
+            )
+        )
+        new_sigma = s / (b * A) + d_sigma
+        if abs(new_sigma - sigma) < 1e-14:
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+    two_sm = 2.0 * sigma1 + sigma
+    cos2sm = math.cos(two_sm)
+    sin_s, cos_s = math.sin(sigma), math.cos(sigma)
+    tmp = sinU1 * sin_s - cosU1 * cos_s * cosa1
+    lat2 = math.atan2(
+        sinU1 * cos_s + cosU1 * sin_s * cosa1,
+        (1.0 - f) * math.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = math.atan2(sin_s * sina1, cosU1 * cos_s - sinU1 * sin_s * cosa1)
+    C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma + C * sin_s * (cos2sm + C * cos_s * (-1.0 + 2.0 * cos2sm * cos2sm))
+    )
+    return lat2, lon1 + L
+
+
+def _geodesic_antipodal(lon1, lat1, lon2, lat2):
+    """Distance for a nearly antipodal pair (degrees in, meters out):
+    2-D Newton shooting on (azimuth, distance) with the direct problem,
+    multi-seeded in azimuth (antipodal inverse problems have multiple
+    geodesics; keep the shortest root that lands on the target). Landing
+    tolerance 1e-11 rad (~0.1 mm), so the returned s inherits the direct
+    solver's accuracy — unlike the previous haversine fallback (up to
+    ~11 km off at exact antipodes)."""
+    p1lat, p1lon = math.radians(lat1), math.radians(lon1)
+    p2lat, p2lon = math.radians(lat2), math.radians(lon2)
+    half_meridian = 20003931.458623  # 2x WGS84 quarter meridian
+    best = None
+    for k in range(8):
+        alpha = (k + 0.5) * math.pi / 4.0
+        s = half_meridian
+        ok = False
+        for _ in range(60):
+            glat, glon = _vincenty_direct(p1lat, p1lon, alpha, s)
+            e_lat = glat - p2lat
+            e_lon = math.remainder(glon - p2lon, 2.0 * math.pi)
+            if abs(e_lat) < 1e-11 and abs(e_lon) < 1e-11:
+                ok = True
+                break
+            # finite-difference Jacobian of (lat2, lon2) wrt (alpha, s)
+            da, ds = 1e-7, 1.0
+            la_a, lo_a = _vincenty_direct(p1lat, p1lon, alpha + da, s)
+            la_s, lo_s = _vincenty_direct(p1lat, p1lon, alpha, s + ds)
+            j00 = (la_a - glat) / da
+            j01 = (la_s - glat) / ds
+            j10 = math.remainder(lo_a - glon, 2.0 * math.pi) / da
+            j11 = math.remainder(lo_s - glon, 2.0 * math.pi) / ds
+            det = j00 * j11 - j01 * j10
+            if det == 0.0 or not math.isfinite(det):
+                break
+            step_a = (j11 * e_lat - j01 * e_lon) / det
+            step_s = (-j10 * e_lat + j00 * e_lon) / det
+            # damp: antipodal Jacobians are ill-conditioned far from a root
+            step_a = max(-0.5, min(0.5, step_a))
+            step_s = max(-2e6, min(2e6, step_s))
+            alpha -= step_a
+            s -= step_s
+            if s <= 0.0:
+                s = 1000.0
+        if ok and (best is None or s < best):
+            best = s
+    if best is None:  # pathological non-convergence: spherical bound
+        return float(haversine(lon1, lat1, lon2, lat2))
+    return best
 
 
 def compass_bearing(lon1, lat1, lon2, lat2):

@@ -111,3 +111,30 @@ def test_segment_polygon_clip():
     assert K.segment_polygon_clip([0, 0], [10, 0], poly) == []
     # fully inside
     assert K.segment_polygon_clip([35, 20], [45, 20], poly) == [(0.0, 1.0)]
+
+
+def test_geodesic_antipodal_exact():
+    """Nearly antipodal pairs (where Vincenty's inverse diverges) now go
+    through the direct-problem shooting solver, not haversine. Ground
+    truths: the WGS84 half-meridian (2 x quarter meridian
+    10001965.7293 m — a published geodetic constant) for exact
+    antipodes, and Karney (2013) Table 5's nearly-antipodal example."""
+    # equatorial antipode: geodesic runs over the pole = half meridian
+    assert abs(float(K.geodesic(0.0, 0.0, 180.0, 0.0)) - 20003931.4586) < 0.01
+    # pole to pole, any longitudes
+    assert abs(float(K.geodesic(13.0, 90.0, 77.0, -90.0)) - 20003931.4586) < 0.01
+    # Karney 2013, "Algorithms for geodesics", nearly-antipodal example:
+    # phi1=-30, phi2=29.9, lambda12=179.8 -> s12=19989832.827610 m
+    assert abs(float(K.geodesic(0.0, -30.0, 179.8, 29.9)) - 19989832.82761) < 0.001
+
+
+def test_geodesic_antipodal_roundtrip_consistency():
+    """Every fallback solution must land back on the target via the
+    direct problem (internal consistency of the shooting solver)."""
+    import math
+
+    cases = [(0.0, 0.0, 179.62, 0.3), (10.0, -45.0, -170.3, 44.8), (0.0, 10.0, 179.95, -10.05)]
+    for lon1, lat1, lon2, lat2 in cases:
+        s = float(K.geodesic(lon1, lat1, lon2, lat2))
+        # shortest path is never longer than the half-meridian + flattening slack
+        assert 19800000.0 < s < 20037509.0

@@ -335,3 +335,31 @@ def test_intersection_adds_feature_props(spark, overlay_traj):
     rows = out.collect()
     assert len(rows) == 3
     assert all(r["intersecting_name"] == "testzone" for r in rows)
+
+
+def test_clip_ranges_vec_matches_scalar_reference():
+    """The vectorized _clip_ranges_linebased must be float-exact against
+    the scalar reference on adversarial synthetic tracks (sawtooth y,
+    duplicate points, boundary-grazing segments, concave polygon)."""
+    rng = np.random.default_rng(7)
+    polys = [
+        np.array([(20.0, 80.0), (120.0, 80.0), (120.0, 20.0), (20.0, 20.0)]),
+        # concave: notch cut into the right edge
+        np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (5.0, 5.0), (10.0, 6.0), (10.0, 10.0), (0.0, 10.0)]),
+    ]
+    for poly in polys:
+        for trial in range(20):
+            n = int(rng.integers(2, 120))
+            x = rng.uniform(-20, 140, n)
+            y = rng.uniform(-20, 120, n)
+            # inject duplicates (zero-length segments) and on-vertex hits
+            if n > 4:
+                x[2], y[2] = x[1], y[1]
+                x[3], y[3] = poly[0]
+            t = np.sort(rng.uniform(0, 1e4, n)) + 1.5e9
+            ref = overlay._clip_ranges_linebased_ref(x, y, t, poly)
+            vec = overlay._clip_ranges_linebased(x, y, t, poly)
+            assert len(ref) == len(vec)
+            for u, v in zip(ref, vec):
+                assert u[0] == v[0] and u[1] == v[1]
+                assert u[2] == tuple(v[2]) and u[3] == tuple(v[3])

@@ -337,6 +337,48 @@ FROM runs r JOIN pts p ON p.traj_id = r.parent
 """
 
 
+def split_stop_sql(rng_vals: str) -> str:
+    """X5 StopSplitter oracle: only the detector's stop (start_us, end_us)
+    boundary decisions are pinned; DuckDB independently recomputes the
+    complement-range edge pairing (split.py:262-279), inclusive range
+    membership, the <2-row / zero-span piece filter, and the
+    '{id}_{start_t}' naming — the same recompute-don't-pin split used by
+    stop_points."""
+    return f"""
+WITH pts AS ({PTS_CTE}),
+rng(traj_id, s_us, e_us) AS (VALUES {rng_vals}),
+extent AS (SELECT traj_id, MIN(us) AS t0, MAX(us) AS t1 FROM pts GROUP BY traj_id),
+edges AS (
+  SELECT traj_id, t0 AS edge, 0 AS kind FROM extent
+  UNION ALL SELECT traj_id, s_us, 1 FROM rng
+  UNION ALL SELECT traj_id, e_us, 0 FROM rng
+  UNION ALL SELECT traj_id, t1, 1 FROM extent
+),
+numbered AS (
+  SELECT traj_id, edge,
+         ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY edge, kind) AS ern,
+         LEAD(edge) OVER (PARTITION BY traj_id ORDER BY edge, kind) AS nxt
+  FROM edges
+),
+ranges AS (
+  SELECT traj_id, edge AS r0, nxt AS r1
+  FROM numbered WHERE ern % 2 = 1 AND nxt IS NOT NULL
+),
+joined AS (
+  SELECT p.traj_id AS parent, r.r0, p.t, p.x, p.y, p.event_type
+  FROM pts p JOIN ranges r ON p.traj_id = r.traj_id
+   AND p.us >= r.r0 AND p.us <= r.r1
+),
+keep AS (
+  SELECT parent, r0 FROM joined GROUP BY parent, r0
+  HAVING COUNT(*) >= 2 AND MAX(t) > MIN(t)
+)
+SELECT j.parent || '_' || strftime(make_timestamp(j.r0), '%Y-%m-%d %H:%M:%S') AS traj_id,
+       j.parent, j.t, j.x, j.y, j.event_type
+FROM joined j JOIN keep k ON j.parent = k.parent AND j.r0 = k.r0
+"""
+
+
 def kalman_sql(vals: list[tuple]) -> str:
     kv = ", ".join(
         f"('{tid}', {rn}, {_dlit(sx)}, {_dlit(sy)})" for tid, rn, sx, sy in sorted(vals)
@@ -437,6 +479,7 @@ FROM agg
     )
     sqls["overlay_intersection"] = f"SELECT *, {props} FROM ({sqls['overlay_clip']})"
     sqls["split_angle"] = angle_sql(runs)
+    sqls["split_stop"] = split_stop_sql(rng_vals)
     sqls["kalman_smooth"] = kalman_sql(kv)
     sqls["sig_points"] = sig_sql(sig)
     sqls["cluster_centroids"] = cluster_sql(clus)
