@@ -12,9 +12,12 @@ reference overlay.py:12-229 with its exact tolerances:
 
 Execution: candidate pre-filter on the segment bbox (the reference's
 R-tree query, overlay.py:171-188, done vectorized in numpy inside the
-kernel), the whole clip running as one grouped-map pandas UDF per
-trajectory — trajectories parallelize across executors, the polygon is
-a plan constant shipped in the UDF closure.
+kernel). The clip runs as mapInPandas over partitions hash-partitioned
+and sorted by (traj_id, t) — one pandas pass per Arrow batch with a
+carry buffer for the trajectory spanning a batch boundary — instead of
+per-group applyInPandas dispatch, whose per-group overhead dominated
+wall time at ~70-row groups. The polygon is a plan constant shipped in
+the UDF closure.
 """
 
 from __future__ import annotations
@@ -252,7 +255,6 @@ def clip(
     attributes with interpolated position/time (overlay.py:94-133)."""
     poly = np.asarray(polygon, float)
     out_schema = T.StructType(df.schema.fields + [T.StructField("parent", T.StringType())])
-    attr_cols = [c for c in df.columns if c not in (cols.traj_id, cols.t, cols.x, cols.y)]
 
     def per_traj(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(cols.t).reset_index(drop=True)
@@ -357,7 +359,43 @@ def clip(
         out[cols.traj_id] = labels
         return out[[*pdf.columns, "parent"]]
 
-    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+    def per_batch(batches):
+        """mapInPandas driver: the partition stream is hash-partitioned
+        and sorted by (traj_id, t), so each trajectory is contiguous —
+        but Arrow slices a partition into ~10k-row batches, so the last
+        (possibly incomplete) trajectory of each batch is carried into
+        the next. This replaces per-group applyInPandas dispatch (1 500
+        tiny groups at sf0.1 = ~2/3 of the operator's wall time) with
+        one pandas pass per Arrow batch."""
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            tids = pdf[cols.traj_id].to_numpy()
+            boundary = np.nonzero(tids[1:] != tids[:-1])[0] + 1
+            starts = np.concatenate([[0], boundary])
+            # hold back the final group — it may continue in the next batch
+            carry = pdf.iloc[starts[-1]:]
+            outs = [
+                per_traj(pdf.iloc[s:e].reset_index(drop=True))
+                for s, e in zip(starts[:-1], starts[1:])
+            ]
+            outs = [o for o in outs if len(o)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            out = per_traj(carry.reset_index(drop=True))
+            if len(out):
+                yield out
+
+    return (
+        df.repartition(cols.traj_id)
+        .sortWithinPartitions(cols.traj_id, cols.t)
+        .mapInPandas(per_batch, schema=out_schema)
+    )
 
 
 def intersection_with_feature(
