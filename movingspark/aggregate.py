@@ -126,8 +126,10 @@ def extract_significant_points(
             }
         )
 
-    return df.groupBy(cols.traj_id).applyInPandas(
-        per_traj, schema="traj_id string, seq long, x double, y double"
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(
+        df, per_traj, "traj_id string, seq long, x double, y double", cols
     )
 
 

@@ -61,7 +61,9 @@ def outlier_clean(
         )
         return pdf[keep]
 
-    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(df, per_traj, out_schema, cols)
 
 
 def outlier_keep_mask(x, y, t, v_max, alpha, conv, latlon) -> np.ndarray:

@@ -43,7 +43,9 @@ def _grouped_filter(df: DataFrame, mask_fn, cols: PointCols) -> DataFrame:
         )
         return pdf[mask]
 
-    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(df, per_traj, out_schema, cols)
 
 
 def min_distance_mask(x, y, tolerance: float, latlon: bool = False) -> np.ndarray:

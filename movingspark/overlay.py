@@ -359,43 +359,9 @@ def clip(
         out[cols.traj_id] = labels
         return out[[*pdf.columns, "parent"]]
 
-    def per_batch(batches):
-        """mapInPandas driver: the partition stream is hash-partitioned
-        and sorted by (traj_id, t), so each trajectory is contiguous —
-        but Arrow slices a partition into ~10k-row batches, so the last
-        (possibly incomplete) trajectory of each batch is carried into
-        the next. This replaces per-group applyInPandas dispatch (1 500
-        tiny groups at sf0.1 = ~2/3 of the operator's wall time) with
-        one pandas pass per Arrow batch."""
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            tids = pdf[cols.traj_id].to_numpy()
-            boundary = np.nonzero(tids[1:] != tids[:-1])[0] + 1
-            starts = np.concatenate([[0], boundary])
-            # hold back the final group — it may continue in the next batch
-            carry = pdf.iloc[starts[-1]:]
-            outs = [
-                per_traj(pdf.iloc[s:e].reset_index(drop=True))
-                for s, e in zip(starts[:-1], starts[1:])
-            ]
-            outs = [o for o in outs if len(o)]
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if carry is not None and len(carry):
-            out = per_traj(carry.reset_index(drop=True))
-            if len(out):
-                yield out
+    from movingspark.gmap import grouped_apply_sorted
 
-    return (
-        df.repartition(cols.traj_id)
-        .sortWithinPartitions(cols.traj_id, cols.t)
-        .mapInPandas(per_batch, schema=out_schema)
-    )
+    return grouped_apply_sorted(df, per_traj, out_schema, cols)
 
 
 def intersection_with_feature(

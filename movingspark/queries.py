@@ -173,8 +173,10 @@ def get_mcp(df: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
             }
         )
 
-    return df.groupBy(cols.traj_id).applyInPandas(
-        hull, schema=f"{cols.traj_id} string, vertex int, x double, y double"
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(
+        df, hull, f"{cols.traj_id} string, vertex int, x double, y double", cols
     )
 
 

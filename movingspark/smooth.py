@@ -97,4 +97,6 @@ def kalman_smooth(
             pdf[cols.y] = _kf_rts_1d(y, dts, q, r)
         return pdf
 
-    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(df, per_traj, out_schema, cols)

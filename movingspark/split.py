@@ -228,7 +228,9 @@ def split_by_angle_change(
             return pdf.iloc[0:0].assign(parent=pd.Series(dtype=str))
         return pd.concat(pieces, ignore_index=True)
 
-    out = df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=out_schema)
+    from movingspark.gmap import grouped_apply_sorted
+
+    out = grouped_apply_sorted(df, per_traj, out_schema, cols)
     if not had_dir:
         out = out.drop(schema.DIRECTION)
     if not had_speed:

@@ -159,7 +159,9 @@ def get_stop_time_ranges(
         )
         return out
 
-    return df.groupBy(cols.traj_id).applyInPandas(per_traj, schema=RANGE_SCHEMA)
+    from movingspark.gmap import grouped_apply_sorted
+
+    return grouped_apply_sorted(df, per_traj, RANGE_SCHEMA, cols)
 
 
 def attach_ranges(df: DataFrame, ranges: DataFrame, cols: PointCols = TRAJ_COLS) -> DataFrame:
