@@ -1006,6 +1006,50 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (Schleimer et al. 2003):
+    Rabin-Karp k-gram polynomial hash (base 257, mod 2^31-1) + per-window
+    minimum selection, all JVM-side codegen (text.winnow_fingerprints).
+    The DuckDB oracle recomputes the identical polynomial and window min
+    independently."""
+    from movingspark.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=8, w=16)
+
+
+def _winnow_oracle_sql(k: int = 8, w: int = 16) -> str:
+    base, mod = 257, 2147483647
+    h = "CAST(0 AS BIGINT)"  # BIGINT chain on both engines (no INT32 overflow)
+    for j in range(1, k + 1):
+        h = f"(({h} * {base} + ascii(substring(g, {j}, 1))) % {mod})"
+    lower = "translate(regexp_replace(text, '\\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {lower} AS t FROM documents WHERE length({lower}) >= {k}
+),
+grams AS (
+  SELECT doc_id, CAST(length(t) - {k} + 1 AS BIGINT) AS ng, i,
+         substring(t, CAST(i AS INT), {k}) AS g
+  FROM d, LATERAL UNNEST(range(1, length(t) - {k} + 2)) AS r(i)
+),
+hashed AS (
+  SELECT doc_id, ng, i, CAST({h} AS BIGINT) AS h FROM grams
+),
+sel AS (
+  SELECT doc_id, ng, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM sel
+WHERE i + {w - 1} <= ng OR (ng < {w} AND i = 1)
+"""
+
+
+SQL_WINNOW_FINGERPRINTS = _winnow_oracle_sql()
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash per document via the scale path (`text.add_simhash`:
     one md5 per token, codegen'd vote sums, map-side partial agg)."""
@@ -1693,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
         "ann_topk_scale": q_ann_topk_scale,
@@ -1759,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
         "split_value_change": SQL_SPLIT_VALUE_CHANGE,

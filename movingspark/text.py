@@ -99,6 +99,57 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(lower_ascii(F.regexp_replace(text, "\\s+", " ")))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprints (Schleimer et al. 2003,
+    'Winnowing: Local Algorithms for Document Fingerprinting'):
+    Rabin-Karp polynomial hash over character k-grams of the normalized
+    text, then one fingerprint per length-w gram window = the window's
+    MINIMUM hash (value-set winnowing variant: the fingerprint is the
+    DISTINCT set of per-window minima, order-free — the right shape for
+    a dedup join; Schleimer's rightmost-position rule matters only when
+    positions are reported). Documents shorter than w grams emit their
+    global minimum. Output: (doc_col, fp long), distinct.
+
+    Everything is JVM-side codegen: explode(sequence) generates gram
+    starts, the k-term polynomial (base 257, mod 2^31-1 — exactly
+    representable in BIGINT on both engines) is an unrolled nested
+    expression over ascii(substring(gram)), and selection is one
+    window MIN over (doc, gram_index) — a single hash exchange. At
+    scale the gram explosion is O(chars) rows that never leave the
+    executor: distinct pre-aggregates map-side before the shuffle."""
+    t = lower_ascii(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    base, mod = 257, 2147483647
+    h_sql = "CAST(0 AS BIGINT)"  # BIGINT chain: residue*257+255 < 2^63
+    for j in range(1, k + 1):
+        h_sql = f"(({h_sql} * {base} + ascii(substring(__g, {j}, 1))) % {mod})"
+    from pyspark.sql import Window
+
+    grams = (
+        docs.select(F.col(doc_col), t.alias("__t"))
+        .filter(F.length("__t") >= k)
+        .select(
+            doc_col,
+            F.expr(f"length(__t) - {k} + 1").alias("__ng"),
+            F.expr(f"explode(sequence(1, length(__t) - {k} + 1))").alias("__i"),
+            "__t",
+        )
+        .withColumn("__g", F.expr(f"substring(__t, cast(__i as int), {k})"))
+        .drop("__t")
+        .withColumn("__h", F.expr(h_sql).cast("long"))
+    )
+    win = Window.partitionBy(doc_col).orderBy("__i").rowsBetween(0, w - 1)
+    sel = grams.withColumn("__fp", F.min("__h").over(win)).filter(
+        (F.col("__i") + (w - 1) <= F.col("__ng")) | ((F.col("__ng") < w) & (F.col("__i") == 1))
+    )
+    return sel.select(F.col(doc_col), F.col("__fp").alias("fp")).distinct()
+
+
 def simhash_expr(text: Column, bits: int = 16) -> Column:
     """SimHash over word tokens: per token take md5-derived bit
     projections; the document hash is the sign-aggregated bit vector.

@@ -307,3 +307,26 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     got = {(r["query_id"], r["vec_id"], r["rk"]) for r in out.collect()}
     want = {(r["query_id"], r["vec_id"], r["rk"]) for r in mem.collect()}
     assert got == want
+
+
+def test_winnow_fingerprints_overlap(spark):
+    """Winnowing fingerprints (rolling k-gram hash + window-min): a doc
+    and its lightly-edited copy share most fingerprints; an unrelated
+    doc shares ~none. Also pins the short-doc fallback (global min)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    edited = base.replace("lazy", "sleepy", 1)
+    other = "completely different content with no overlap whatsoever here " * 4
+    docs = spark.createDataFrame(
+        [("a", base), ("b", edited), ("c", other), ("tiny", "abcdefghij")],
+        "doc_id string, text string",
+    )
+    fp = text.winnow_fingerprints(docs, k=8, w=16)
+    rows = fp.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    jac_ab = len(sets["a"] & sets["b"]) / len(sets["a"] | sets["b"])
+    jac_ac = len(sets["a"] & sets["c"]) / len(sets["a"] | sets["c"])
+    assert jac_ab > 0.6        # near-dup shares most fingerprints
+    assert jac_ac < 0.05       # unrelated shares ~none
+    assert len(sets["tiny"]) == 1  # < w grams -> single global-min fingerprint
