@@ -129,3 +129,24 @@ def test_ann_topk_partial_window_group_limit_before_exchange(spark):
     assert partial_no is not None, plan
     assert exch_no is not None, plan
     assert partial_no < exch_no, plan
+
+
+def test_winnow_fingerprints_single_exchange_no_python(spark):
+    """Rolling-hash winnowing stays entirely JVM-side (codegen'd
+    polynomial over the gram explode) with exactly one hash exchange
+    (the per-doc window); distinct pre-aggregates map-side so a second
+    full-width exchange never appears."""
+    from movingspark import text
+
+    docs = spark.createDataFrame(
+        [("d1", "some document text to fingerprint with enough length"),
+         ("d2", "another sufficiently long text body for the window")],
+        "doc_id string, text string",
+    )
+    plan = plan_of(text.winnow_fingerprints(docs, k=8, w=16))
+    assert _no_python_exec(plan)
+    assert "Window" in plan
+    # exactly ONE exchange: the distinct on (doc_id, fp) reuses the
+    # window's hash partitioning on doc_id (subset of the group keys
+    # satisfies ClusteredDistribution), so no second exchange appears
+    assert n_exchanges(plan) == 1
