@@ -358,6 +358,41 @@ FROM g GROUP BY traj_id, piece HAVING COUNT(*) >= 2
 """
 
 
+def q_gap_sessions(spark, sf_dir):
+    """§2.11 session-window gap sessions (streaming.gap_sessions — the
+    same code path Structured Streaming uses, exercised in batch mode so
+    the driver can hash-compare it). Spark session_window semantics:
+    each event opens [t, t+gap); overlapping windows merge, so sorted
+    events chain while t_i - t_{i-1} < gap, session_end = last_t + gap.
+    The DuckDB oracle recomputes that with gaps-and-islands SQL."""
+    from movingspark import streaming
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return streaming.gap_sessions(pts, gap="1 hour")
+
+
+SQL_GAP_SESSIONS = f"""
+WITH pts AS (SELECT traj_id, t FROM ({EVENTS_POINTS_ORACLE_FULL})),
+flg AS (
+  SELECT traj_id, t,
+         CASE WHEN epoch_us(t) - LAG(epoch_us(t)) OVER w >= 3600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+g AS (
+  SELECT traj_id, t,
+         SUM(brk) OVER (PARTITION BY traj_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM flg
+)
+SELECT traj_id,
+       MIN(t) AS session_start,
+       MAX(t) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n, MIN(t) AS start_t, MAX(t) AS end_t
+FROM g GROUP BY traj_id, sess
+"""
+
+
 def q_split_temporal_day(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     out = split.split_temporally(pts, "day")
@@ -1714,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_first_value": q_filter_by_first_value,
         "line_export": q_line_export,
         "split_gap": q_split_gap,
+        "gap_sessions": q_gap_sessions,
         "split_temporal_day": q_split_temporal_day,
         "split_temporal_2h": q_split_temporal_2h,
         "traj_gdf_agg": q_traj_gdf_agg,
@@ -1781,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_by_first_value": SQL_FILTER_BY_FIRST_VALUE,
         "line_export": SQL_LINE_EXPORT,
         "split_gap": SQL_SPLIT_GAP,
+        "gap_sessions": SQL_GAP_SESSIONS,
         "split_temporal_day": SQL_SPLIT_TEMPORAL_DAY,
         "split_temporal_2h": SQL_SPLIT_TEMPORAL_2H,
         "traj_gdf_agg": SQL_TRAJ_GDF_AGG,
