@@ -74,3 +74,31 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(ref)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table hash-BUCKETED by `bucket_cols` (optionally
+    sorted within buckets): every downstream join or aggregation keyed
+    on the bucket columns reads pre-co-located data and skips its
+    exchange entirely — the 100 TB answer to 'this pipeline groups by
+    traj_id/doc_id at every stage'. Bucket count is a physical layout
+    choice: pick ~(total size / target partition size), NOT the
+    cluster's current core count.
+
+    Uses the V1 `bucketBy().saveAsTable()` API (bucketing requires a
+    table identifier — raw parquet paths carry no bucket metadata). On
+    an Iceberg catalog the equivalent layout is the `bucket(n, col)`
+    partition transform via write_table(partition_by=...)."""
+    if not is_table_identifier(table):
+        raise ValueError("bucketed writes need a table identifier, not a path")
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

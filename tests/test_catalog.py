@@ -26,3 +26,29 @@ def test_is_table_identifier():
     assert catalog.is_table_identifier("iceberg.db.docs")
     assert not catalog.is_table_identifier("/data/docs.parquet")
     assert not catalog.is_table_identifier("s3://bucket/docs")
+
+
+def test_bucketed_table_groupby_needs_no_exchange(spark, tmp_path):
+    """Co-located layout evidence: an aggregation keyed on the bucket
+    column over a bucketed table must run WITHOUT a shuffle exchange
+    (the scan itself reports the hash partitioning)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("traj_id"),
+        F.col("id").cast("double").alias("x"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_pts")
+    catalog.write_bucketed(df, "bucketed_pts", ["traj_id"], n_buckets=8)
+    agg = catalog.read_table(spark, "bucketed_pts").groupBy("traj_id").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("n")
+    )
+    plan_buf = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_buf, plan_buf[:800]
+    assert agg.count() == 50
+    # identical unbucketed aggregation DOES shuffle (sanity of the assert)
+    plain = df.groupBy("traj_id").agg(F.sum("x").alias("sx"))
+    assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+    spark.sql("DROP TABLE IF EXISTS bucketed_pts")
