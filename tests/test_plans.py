@@ -150,3 +150,22 @@ def test_winnow_fingerprints_single_exchange_no_python(spark):
     # window's hash partitioning on doc_id (subset of the group keys
     # satisfies ClusteredDistribution), so no second exchange appears
     assert n_exchanges(plan) == 1
+
+
+def test_kinematics_chain_one_exchange_one_sort(spark):
+    """D1-D6 all declare Window.partitionBy(traj_id).orderBy(t):
+    Catalyst must plan the WHOLE chain (timedelta, distance, speed,
+    direction, angular difference, acceleration) as ONE exchange + ONE
+    sort shared by every window column — a second sort or exchange
+    means an operator broke the shared window spec."""
+    df = _pts(spark)
+    out = derive.add_acceleration(
+        derive.add_angular_difference(
+            derive.add_direction(derive.add_speed(derive.add_distance(derive.add_timedelta(df))))
+        )
+    )
+    plan = plan_of(out)
+    assert n_exchanges(plan) == 1
+    n_sorts = len([ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Sort", ln)])
+    assert n_sorts == 1
+    assert _no_python_exec(plan)
