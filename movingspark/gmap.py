@@ -43,7 +43,17 @@ def grouped_apply_sorted(
     function, executed as mapInPandas over (key, order)-sorted hash
     partitions with a batch-boundary carry. `fn` receives each group
     with a reset index, rows pre-sorted by `order` (kernels that
-    re-sort internally stay correct and cheap — sorting sorted data)."""
+    re-sort internally stay correct and cheap — sorting sorted data).
+
+    Known trade-offs vs applyInPandas (both acceptable here): the
+    explicit repartition is not elided when the input is already
+    hash-partitioned on `key` (FlatMapGroupsInPandas declares a
+    ClusteredDistribution that Catalyst can satisfy without a shuffle;
+    RepartitionByExpression is unconditional) — none of this engine's
+    pipelines chain two grouped-map kernels without an intervening
+    exchange, so nothing regresses; and one pathological giant group
+    still lands on a single task, exactly as it does with
+    applyInPandas (inherent to per-group sequential semantics)."""
     key = key or cols.traj_id
     order = order or cols.t
 
