@@ -117,6 +117,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("text_stats", lambda: force(E.q_text_stats(spark, sf_dir)))
     run("simhash", lambda: force(E.q_simhash(spark, sf_dir)))
     run("ann_cosine", lambda: force(E.q_ann_cosine(spark, sf_dir)))
+    run("winnow_fingerprints", lambda: force(E.q_winnow_fingerprints(spark, sf_dir)))
+    run("gap_sessions", lambda: force(E.q_gap_sessions(spark, sf_dir)))
     run("overlay_clip", lambda: force(E.q_overlay_clip(spark, sf_dir)))
 
     pts.unpersist()
