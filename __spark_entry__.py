@@ -1012,6 +1012,42 @@ GROUP BY 1, 2
 SQL_DEDUP_MINHASH_BANDED = _minhash_banded_sql()
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from the banded-LSH candidate pairs: distributed
+    connected components (alternating large-star/small-star, O(log^2 n)
+    rounds — movingspark/components.py) labeling every paired doc with
+    the minimum doc_id reachable from it. This is the step that turns
+    pair lists into survivor selection in a production dedup pipeline."""
+    from movingspark.components import connected_components
+    from movingspark.text import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    pairs = minhash_band_pairs(
+        docs.repartition(n_part, "doc_id"), "doc_id", "text",
+        n_bands=N_BANDS, rows_per_band=ROWS_PER_BAND,
+    )
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+# oracle: transitive closure by recursive CTE (min reachable id per node)
+# over the same banded pair list — DuckDB semantics are exact.
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_BANDED}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
     punctuation ratio, fingerprint (normalized md5)."""
@@ -1771,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_banded": q_dedup_minhash_banded,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1839,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
