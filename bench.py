@@ -26,6 +26,25 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_jiffies() -> tuple[int, int, int]:
+    """(steal, system, total) jiffies from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:9]]  # user nice sys idle iowait irq sirq steal
+    return vals[7], vals[2], sum(vals)
+
+
+def _noisy(before, after) -> bool:
+    """True when the interval was contaminated by hypervisor steal or a
+    kernel-time storm (this VM shows recurring windows where steal+sys
+    eat >60% of all cycles and identical Spark jobs run 2-10x slower —
+    see BENCH.md 'noise discipline')."""
+    ds = after[0] - before[0]
+    dsys = after[1] - before[1]
+    dt = max(after[2] - before[2], 1)
+    return (ds / dt) > 0.15 or (dsys / dt) > 0.35
+
+
 def build_spark(cpus: int) -> SparkSession:
     return (
         tune_builder(
@@ -49,6 +68,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from movingspark import derive, ingest, joins, queries as q, split, stops
 
     timings: dict[str, float] = {}
+    noise = {"noisy_passes": 0, "retries": 0}
 
     def run(name, thunk):
         # each query runs once untimed then best-of-2 timed: the timed
@@ -58,13 +78,27 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         # intermittent multi-second I/O stalls (loadavg >> busy CPUs).
         # The JVM is launched with a 1 GB ReservedCodeCacheSize
         # (movingspark/session.py) so codegen'd stages stay JIT-compiled
-        # across the suite.
+        # across the suite. A pass whose /proc/stat interval shows a
+        # hypervisor steal / kernel-time storm (measured 2-10x slowdowns
+        # on identical jobs) is retried up to twice and counted in the
+        # emitted host-noise telemetry, so a poisoned suite run is
+        # distinguishable from a regression.
         thunk()
         best = float("inf")
-        for _ in range(2):
+        passes = 0
+        while passes < 2:
+            pre = _cpu_jiffies()
             t0 = time.time()
             thunk()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if _noisy(pre, _cpu_jiffies()):
+                noise["noisy_passes"] += 1
+                if noise["retries"] < 2 * len(timings) + 4:
+                    noise["retries"] += 1
+                    best = min(best, dt)  # keep it, but try for a clean pass
+                    continue
+            best = min(best, dt)
+            passes += 1
         timings[name] = round(best, 3)
 
     pts = ingest.events_as_traj_points(spark, sf_dir).select("traj_id", "t", "x", "y")
@@ -122,6 +156,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("overlay_clip", lambda: force(E.q_overlay_clip(spark, sf_dir)))
 
     pts.unpersist()
+    timings["_noisy_passes"] = noise["noisy_passes"]
     return timings
 
 
@@ -139,6 +174,7 @@ def main():
     timings = bench_queries(spark, sf_dir)
     wall = round(time.time() - t0, 3)
     docs_per_sec = timings.pop("_docs_per_sec", None)
+    noisy_passes = timings.pop("_noisy_passes", 0)
     # value = sum of the timed (steady-state) query passes. The metric
     # string names this semantics explicitly (it changed from plain wall
     # time in round 1), so cross-round comparisons key on the metric
@@ -155,6 +191,12 @@ def main():
         "cpus": cpus,
         "steady_state_sum_s": total,
         "wall_s": wall,
+        # host-noise telemetry: timed passes whose /proc/stat interval
+        # showed a steal/kernel-time storm (>15% steal or >35% sys of
+        # all cycles). Nonzero means some numbers above may be inflated
+        # by the sandbox VM's recurring contention windows, not by the
+        # engine — see BENCH.md "noise discipline".
+        "noisy_passes": noisy_passes,
     }
     print(json.dumps(out))
     spark.stop()
