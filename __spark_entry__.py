@@ -1048,6 +1048,58 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-rules quality filter (Rae et al. 2021, table A1): per-rule
+    boolean flags + the conjunction, per document (text.gopher_flags_expr).
+    The DuckDB oracle recomputes every rule independently."""
+    from movingspark.text import gopher_flags_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = gopher_flags_expr(F.col("text"))
+    return docs.select("doc_id", *[flags[f].alias(f) for f in [
+        "word_count_ok", "mean_word_ok", "symbol_ratio_ok", "bullet_ratio_ok",
+        "ellipsis_ratio_ok", "alpha_words_ok", "stopwords_ok", "passes",
+    ]])
+
+
+SQL_GOPHER_RULES = """
+WITH d AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS words,
+         GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS nw,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nchars,
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS nell,
+         GREATEST(length(text) - length(replace(text, chr(10), '')) + 1, 1) AS nlines,
+         len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS nbullet,
+         len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS nellend,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> regexp_matches(w, '[a-zA-Z]'))) AS nalpha,
+         len(list_intersect(
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                 w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')),
+             ['the','be','to','of','and','that','have','with'])) AS nstop
+  FROM documents
+)
+SELECT doc_id,
+       len(words) >= 50 AND len(words) <= 100000 AS word_count_ok,
+       CAST(nchars AS DOUBLE) / nw >= 3 AND CAST(nchars AS DOUBLE) / nw <= 10 AS mean_word_ok,
+       CAST(nhash + nell AS DOUBLE) / nw <= 0.1 AS symbol_ratio_ok,
+       CAST(nbullet AS DOUBLE) / nlines <= 0.9 AS bullet_ratio_ok,
+       CAST(nellend AS DOUBLE) / nlines <= 0.3 AS ellipsis_ratio_ok,
+       CAST(nalpha AS DOUBLE) / nw >= 0.8 AS alpha_words_ok,
+       nstop >= 2 AS stopwords_ok,
+       (len(words) >= 50 AND len(words) <= 100000)
+         AND (CAST(nchars AS DOUBLE) / nw >= 3 AND CAST(nchars AS DOUBLE) / nw <= 10)
+         AND (CAST(nhash + nell AS DOUBLE) / nw <= 0.1)
+         AND (CAST(nbullet AS DOUBLE) / nlines <= 0.9)
+         AND (CAST(nellend AS DOUBLE) / nlines <= 0.3)
+         AND (CAST(nalpha AS DOUBLE) / nw >= 0.8)
+         AND (nstop >= 2) AS passes
+FROM d
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
     punctuation ratio, fingerprint (normalized md5)."""
@@ -1808,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_components": q_dedup_components,
+        "gopher_rules": q_gopher_rules,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1877,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "gopher_rules": SQL_GOPHER_RULES,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,

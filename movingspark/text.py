@@ -93,6 +93,69 @@ def quality_score_expr(text: Column) -> Column:
     return (len_ok + word_ok + punct_ok) / 3.0
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags_expr(text: Column) -> Column:
+    """Gopher-rules document quality flags (Rae et al. 2021, 'Scaling
+    Language Models: ... Gopher', table A1 — the standard pretraining
+    corpus filter). Returns a struct of per-rule booleans plus the
+    conjunction `passes`:
+
+      word_count_ok    50 <= words <= 100_000
+      mean_word_ok     3 <= mean word length <= 10
+      symbol_ratio_ok  (#-signs + ellipses) / words <= 0.1
+      bullet_ratio_ok  <= 90% of lines start with a bullet
+      ellipsis_ratio_ok<= 30% of lines end with an ellipsis
+      alpha_words_ok   >= 80% of words contain an alphabetic char
+      stopwords_ok     >= 2 distinct members of the 8-stopword set
+
+    Counting tricks keep almost everything codegen'd: mean word length
+    = non-whitespace chars / words (no per-word aggregate); symbol and
+    line counts via replace()/regexp_extract_all() length deltas. The
+    one higher-order function (the alpha-word filter) runs once per
+    document on an already-materialized words array — this is a
+    corpus-pass filter, not a per-point hot path."""
+    words = F.split(F.trim(text), "\\s+")
+    nw = F.greatest(F.size(words), F.lit(1))
+    n_alpha_chars = F.length(F.regexp_replace(text, "\\s", ""))
+    mean_word = n_alpha_chars / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    n_lines = F.greatest(
+        F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit(""))) + 1, F.lit(1)
+    )
+    n_bullet = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^\s*[-*]"), 0))
+    n_ell_end = F.size(F.regexp_extract_all(text, F.lit(r"(?m)\.\.\.$"), 0))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.translate(w, _UPPER, _LOWER)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (F.size(words) >= 50) & (F.size(words) <= 100000),
+        "mean_word_ok": (mean_word >= 3) & (mean_word <= 10),
+        "symbol_ratio_ok": (n_hash + n_ellipsis) / nw <= 0.1,
+        "bullet_ratio_ok": n_bullet / n_lines <= 0.9,
+        "ellipsis_ratio_ok": n_ell_end / n_lines <= 0.3,
+        "alpha_words_ok": n_alpha_words / nw >= 0.8,
+        "stopwords_ok": stop_hits >= 2,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[c.alias(name) for name, c in flags.items()], passes.alias("passes")
+    )
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs filtered to rows passing all Gopher rules."""
+    return docs.filter(gopher_flags_expr(F.col(text_col))["passes"])
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key."""

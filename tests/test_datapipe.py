@@ -330,3 +330,24 @@ def test_winnow_fingerprints_overlap(spark):
     assert jac_ab > 0.6        # near-dup shares most fingerprints
     assert jac_ac < 0.05       # unrelated shares ~none
     assert len(sets["tiny"]) == 1  # < w grams -> single global-min fingerprint
+
+
+def test_gopher_rules(spark):
+    good = "The quick brown fox jumps over the lazy dog and runs to town with great speed. " * 8
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "# " * 60 + "the of and that have with be to"
+    short = "too few words here"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short)], "doc_id long, text string"
+    )
+    flags = text.gopher_flags_expr(F.col("text"))
+    by = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", flags.alias("f")).select("doc_id", "f.*").collect()
+    }
+    assert by[1]["passes"]
+    assert not by[2]["bullet_ratio_ok"]
+    assert not by[3]["symbol_ratio_ok"] and not by[3]["alpha_words_ok"]
+    assert not by[4]["word_count_ok"] and not by[4]["passes"]
+    kept = [r["doc_id"] for r in text.gopher_filter(df).select("doc_id").collect()]
+    assert kept == [1]
