@@ -173,6 +173,34 @@ def streaming_stops(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    t_col: str = "ingest_t",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest stream: drop every
+    document whose normalized-text fingerprint was already seen within
+    the watermark horizon. `dropDuplicatesWithinWatermark` keeps the
+    fingerprint state store bounded (state for a fingerprint is evicted
+    once its event time falls behind the watermark), which is what makes
+    this viable on an unbounded 100 TB/day ingest feed — unbounded-state
+    dropDuplicates would OOM the state store. Works on batch DataFrames
+    too (falls back to plain per-fingerprint dedup).
+
+    The batch twin is `text.fingerprint_expr` + groupBy (q_dedup_exact);
+    the fingerprints are identical, so a backfill batch job and the
+    live stream agree on survivors."""
+    from movingspark.text import fingerprint_expr
+
+    tagged = stream.withColumn("__fp", fingerprint_expr(F.col(text_col)))
+    if tagged.isStreaming:
+        out = tagged.withWatermark(t_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    else:
+        out = tagged.dropDuplicates(["__fp"])
+    return out.drop("__fp")
+
+
 def streaming_tile_rollup(
     stream: DataFrame,
     res: int,

@@ -184,3 +184,36 @@ def test_streaming_tile_rollup_with_memory_sink(spark, tmp_path):
     rows = spark.sql("select * from tiles_test").collect()
     assert sum(r["n_points"] for r in rows) == 3
     assert len({r["cell"] for r in rows}) == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # file source -> fingerprint dedup within watermark -> memory sink
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+    rows = [
+        ("d1", "the same   Text", t0),
+        ("d2", "THE same text", t0 + dt.timedelta(seconds=30)),  # normalized dup of d1
+        ("d3", "something else", t0 + dt.timedelta(seconds=60)),
+        ("d4", "the same text", t0 + dt.timedelta(seconds=90)),  # dup again
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, ingest_t timestamp")
+    src_dir = str(tmp_path / "dedup_src")
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = streaming.streaming_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql("select * from dedup_test").collect())
+    assert len(kept) == 2 and "d3" in kept
+    assert kept[0] in ("d1", "d2", "d4")  # exactly one of the dup cluster survives
+
+    # batch fallback: same fingerprints, one survivor per cluster
+    batch_kept = streaming.streaming_dedup(df).select("doc_id").collect()
+    assert len(batch_kept) == 2
