@@ -1030,6 +1030,23 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs, src="doc_a", dst="doc_b")
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end dedup: banded-LSH pairs -> connected components ->
+    keep the min-id member per duplicate cluster; docs in no pair
+    survive unchanged (components.dedup_survivors — broadcast anti-join,
+    the document table itself is never shuffled)."""
+    from movingspark.components import dedup_survivors
+    from movingspark.text import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    pairs = minhash_band_pairs(
+        docs.repartition(n_part, "doc_id"), "doc_id", "text",
+        n_bands=N_BANDS, rows_per_band=ROWS_PER_BAND,
+    )
+    return dedup_survivors(docs, pairs).select("doc_id")
+
+
 # oracle: transitive closure by recursive CTE (min reachable id per node)
 # over the same banded pair list — DuckDB semantics are exact.
 SQL_DEDUP_COMPONENTS = f"""
@@ -1045,6 +1062,25 @@ reach AS (
   SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_BANDED}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node != MIN(r)
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
 """
 
 
@@ -1860,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "gopher_rules": q_gopher_rules,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
@@ -1930,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "gopher_rules": SQL_GOPHER_RULES,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
