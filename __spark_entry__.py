@@ -1627,6 +1627,59 @@ SELECT doc_a, doc_b, cosine FROM pr WHERE cosine >= 0.999
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup clusters: embedding-cosine near-dup
+    pairs (multi-band sign-LSH + exact refine) -> distributed connected
+    components -> (node, component=min reachable id). The oracle
+    recomputes pairs by brute-force all-pairs cosine and clusters them
+    with a recursive CTE, so BOTH the LSH recall and the component
+    labels are value-checked."""
+    from movingspark.components import connected_components
+    from movingspark.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.01).alias("embedding"),
+    )
+    pairs = embedding_near_dups(emb.unionByName(planted), threshold=0.999)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, e -> e * CAST(1.01 AS DOUBLE)) AS v
+  FROM base WHERE vec_id < 10
+),
+pr AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              GREATEST(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)), 1e-30),
+              6) >= 0.999
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pr
+),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_stop_points(spark, sf_dir):
     """X1/A11 stop detection on events trajectories. The sequential
     detector's (start,end) ranges are oracle-checked against a pinned
@@ -1897,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
+        "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
@@ -1968,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_banded": SQL_DEDUP_MINHASH_BANDED,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
