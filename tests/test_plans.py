@@ -169,3 +169,34 @@ def test_kinematics_chain_one_exchange_one_sort(spark):
     n_sorts = len([ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Sort", ln)])
     assert n_sorts == 1
     assert _no_python_exec(plan)
+
+
+def test_gopher_rules_zero_exchange_jvm_only(spark):
+    """The Gopher quality filter is a pure per-row projection: no
+    exchange at all, no Python worker (the higher-order array ops are
+    JVM Catalyst expressions)."""
+    from movingspark import text
+
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox and the lazy dog have fun with that")],
+        "doc_id string, text string",
+    )
+    plan = plan_of(docs.select("doc_id", text.gopher_flags_expr(F.col("text")).alias("f")))
+    assert _no_python_exec(plan)
+    assert n_exchanges(plan) == 0
+
+
+def test_connected_components_output_plan_truncated(spark):
+    """The components loop must hand downstream consumers a TRUNCATED
+    plan: a scan of the checkpointed edge RDD + one exchange for the
+    final per-node min — NOT the unrolled union/join tower of every
+    iteration (which OOMs Catalyst on long chains)."""
+    from movingspark.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "src string, dst string"
+    )
+    plan = plan_of(connected_components(edges))
+    assert "ExistingRDD" in plan
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
