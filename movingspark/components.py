@@ -44,6 +44,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_survivors"]
 
+# observability: rounds taken by the most recent connected_components
+# call in this process (the O(log^2 n) bound is the op's core scale
+# claim — benchmarks and tests read this back).
+LAST_ROUNDS = 0
+
 
 def _digest(edges: DataFrame) -> tuple[int, int]:
     """Order-insensitive (count, bit_xor(xxhash64)) digest of an edge set."""
@@ -119,6 +124,8 @@ def connected_components(
 
         digest = _digest(small)
         prev = small
+        global LAST_ROUNDS
+        LAST_ROUNDS = it + 1
         if digest == prev_digest:
             break
         prev_digest = digest
