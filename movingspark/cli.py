@@ -13,6 +13,8 @@ Subcommands:
   tiling -> reassembly invariant, checkpointed per stage with
   per-partition lineage (resume by re-running with the same
   --checkpoints path).
+- dedup: training-data dedup — [gopher filter] -> banded LSH pairs ->
+  connected components -> survivors parquet, checkpointed per stage.
 - kinematics: derive D1-D6 columns for a point table.
 """
 
@@ -66,6 +68,61 @@ def cmd_pipeline(args) -> int:
     return 1 if n_bad else 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup job: [gopher quality filter] -> banded
+    MinHash LSH pairs -> connected components -> survivors, each stage
+    checkpointed with lineage (resume by re-running with the same
+    --checkpoints path). Survivors land at --output as parquet."""
+    from movingspark import components, ingest
+    from movingspark.checkpoint import Checkpointer
+    from movingspark.text import gopher_filter, minhash_band_pairs
+
+    spark = build_session("movingspark-dedup")
+    ck = Checkpointer(spark, args.checkpoints)
+
+    if args.input:
+        from movingspark.catalog import read_table
+        docs = read_table(spark, args.input)
+    else:
+        docs = ingest.synth_interleaved_docs(spark, args.synth_docs).select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("spans", lambda s: F.coalesce(s["text"], s["media_ref"]))
+            ).alias("text"),
+        )
+        # plant duplicates of every 100th doc so the demo job has
+        # something to find (real corpora bring their own)
+        docs = docs.unionByName(
+            docs.filter(F.col("doc_id").endswith("00")).select(
+                F.concat(F.lit("dup-"), "doc_id").alias("doc_id"), "text"
+            )
+        )
+    n_in = docs.count()
+
+    if args.gopher:
+        docs = ck.stage("quality", lambda: gopher_filter(docs))
+    pairs = ck.stage(
+        "pairs",
+        lambda: minhash_band_pairs(docs, "doc_id", "text",
+                                   max_band_bucket=args.max_band_bucket),
+    )
+    comp = ck.stage("components", lambda: components.connected_components(
+        pairs, src="doc_a", dst="doc_b"))
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"))
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "pair_count": pairs.count(),
+        "clusters": comp.select("component").distinct().count(),
+        "stages": ck.log,
+    }))
+    return 0
+
+
 def cmd_kinematics(args) -> int:
     from movingspark import derive
 
@@ -90,6 +147,15 @@ def main(argv=None) -> int:
     p.add_argument("--salt", type=int, default=0)
     p.add_argument("--aoi", default="-60,-60,60,60")
     p.set_defaults(fn=cmd_pipeline)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", default=None, help="docs table path (parquet/iceberg)")
+    d.add_argument("--synth-docs", type=int, default=100_000)
+    d.add_argument("--checkpoints", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--gopher", action="store_true", help="apply the Gopher quality filter first")
+    d.add_argument("--max-band-bucket", type=int, default=2000)
+    d.set_defaults(fn=cmd_dedup)
 
     k = sub.add_parser("kinematics")
     k.add_argument("--input", required=True)
