@@ -1084,6 +1084,52 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus reporting rollup: per-language doc count, token-count mean
+    and EXACT median, char total. Exact percentile (not approx) so the
+    DuckDB twin matches bit-for-bit; at 100 TB you'd swap in
+    percentile_approx and drop the oracle to tolerance-compare."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    g = docs.select("lang", toks.alias("__nt"), F.length("text").alias("__nc"))
+    return g.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("__nt"), R).alias("mean_tokens"),
+        (F.expr("percentile(__nt, 0.5)") + F.lit(0.0)).alias("median_tokens"),
+        F.sum("__nc").alias("total_chars"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), {R}) AS mean_tokens,
+       quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.5) + 0.0 AS median_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling — the downsampling
+    primitive of corpus mixing (e.g. keep 25% of 'en', all of the rest).
+    The sampling decision is a pure function of doc_id (first 4 hex
+    chars of md5 under a threshold), so it is reproducible across runs,
+    engines, and partitionings — never rand()-based, which would make
+    resume/backfill non-deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    keep = (F.col("lang") != "en") | (bucket < F.lit(int(0.25 * 65536)))
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE lang != 'en'
+   OR CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 16384
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-rules quality filter (Rae et al. 2021, table A1): per-rule
     boolean flags + the conjunction, per document (text.gopher_flags_expr).
@@ -1952,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
+        "corpus_stats": q_corpus_stats,
+        "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2024,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
