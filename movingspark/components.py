@@ -1,7 +1,7 @@
 """Distributed connected components + dedup-cluster survivor selection.
 
 Near-dup detection (`text.minhash_band_pairs`, `text.ngram_jaccard_pairs`,
-`similarity.embedding_near_dup_pairs`) emits candidate PAIRS; a production
+`similarity.embedding_near_dups`) emits candidate PAIRS; a production
 dedup pipeline must turn those pairs into duplicate CLUSTERS and keep one
 canonical survivor per cluster. That is a connected-components problem on
 a graph whose nodes are doc ids and whose edges are the near-dup pairs.

@@ -59,14 +59,31 @@ def run_one(cpus: int, n_docs: int, iters: int) -> dict:
         force(joins.tile_rollup(pts, res=6))
         force(ingest.span_invariant_violations(docs))
 
+    def jiffies():
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+        return v[7], v[2], sum(v)  # steal, system, total
+
     pipeline()  # untimed warmup (JIT, codegen, Arrow workers)
     best = float("inf")
+    worst_steal = worst_sys = 0.0
     for _ in range(iters):
+        pre = jiffies()
         t0 = time.time()
         pipeline()
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        post = jiffies()
+        tot = max(post[2] - pre[2], 1)
+        if dt == min(best, dt):
+            worst_steal = (post[0] - pre[0]) / tot
+            worst_sys = (post[1] - pre[1]) / tot
+        best = min(best, dt)
     spark.stop()
-    return {"cpus": cpus, "seconds": round(best, 3), "docs": n_docs, "docs_per_sec": round(n_docs / best, 1)}
+    # steal/sys fractions measured around the BEST pass: >0.15 steal or
+    # >0.35 sys marks a storm-contaminated leg (see BENCH.md noise
+    # discipline) — the pair should be re-run, not trusted.
+    return {"cpus": cpus, "seconds": round(best, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / best, 1),
+            "steal_frac": round(worst_steal, 3), "sys_frac": round(worst_sys, 3)}
 
 
 def main():
