@@ -129,6 +129,13 @@ def connected_components(
         if digest == prev_digest:
             break
         prev_digest = digest
+    else:
+        # O(log^2 n) convergence means max_iter=50 covers any physical
+        # graph; hitting it signals a bug or a wrong input, and silently
+        # returning unconverged labels would corrupt downstream dedup.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
 
     # converged: every remaining edge is (node, component-min). A node that
     # is itself a component min appears only on the v side.
