@@ -697,6 +697,31 @@ SELECT traj_id, t, x, y, cluster_id, ROUND(dist, {R}) AS dist FROM (
 """
 
 
+def q_knn_top3(spark, sf_dir):
+    """J6 generalized to k>1: the 3 nearest centroids per point with
+    ranks (row_number window path of joins.knn_join; ties broken by
+    centroid id)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    cents = spark.createDataFrame(KNN_CENTROIDS, "cluster_id string, cx double, cy double")
+    out = joins.knn_join(pts, cents, k=3)
+    return _round(
+        out.select("traj_id", "t", "x", "y", "cluster_id", "dist", "knn_rank"), ["dist"]
+    )
+
+
+SQL_KNN_TOP3 = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+cents(cluster_id, cx, cy) AS (VALUES {_CENT_VALUES})
+SELECT traj_id, t, x, y, cluster_id, ROUND(dist, {R}) AS dist, rk AS knn_rank FROM (
+  SELECT pts.*, cents.cluster_id,
+         SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
+             ORDER BY SQRT((x-cx)*(x-cx) + (y-cy)*(y-cy)), cluster_id) AS rk
+  FROM pts CROSS JOIN cents
+) WHERE rk <= 3
+"""
+
+
 def q_flows(spark, sf_dir):
     """A12/X18 flow map: nearest-centroid per point (broadcast kNN),
     compress consecutive repeats per trajectory, count transitions
@@ -1985,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersecting_trajs_line": q_intersecting_trajs_line,
         "traj_point_distance": q_traj_point_distance,
         "knn": q_knn,
+        "knn_top3": q_knn_top3,
         "flows": q_flows,
         "visit_counts": q_visit_counts,
         "doc_points": q_doc_points,
@@ -2059,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
         "traj_point_distance": SQL_TRAJ_POINT_DISTANCE,
         "knn": SQL_KNN,
+        "knn_top3": SQL_KNN_TOP3,
         "flows": SQL_FLOWS,
         "visit_counts": SQL_VISIT_COUNTS,
         "doc_points": SQL_DOC_POINTS,
