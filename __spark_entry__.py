@@ -1207,6 +1207,53 @@ FROM d
 """
 
 
+def q_clean_corpus_stats(spark, sf_dir):
+    """End-to-end training-data pipeline under ONE oracle: Gopher
+    quality filter -> exact-fingerprint dedup survivors (min doc_id per
+    fingerprint) -> per-language corpus stats. Each stage is verified
+    elsewhere in isolation; this row proves the COMPOSITION (the thing a
+    user actually runs) agrees with an independent recomputation."""
+    from movingspark.text import fingerprint_expr, gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # multilingual profile: the English-specific stopword rule is off
+    # (the synthetic corpus spans 5 languages), published thresholds
+    # otherwise — word-count is the discriminating rule here (~55% pass)
+    clean = gopher_filter(docs, stopwords=None)
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    kept = (
+        clean.withColumn("__fp", fingerprint_expr(F.col("text")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(toks), R).alias("mean_tokens"),
+    )
+
+
+SQL_CLEAN_CORPUS_STATS = f"""
+WITH flags AS ({SQL_GOPHER_RULES}),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text,
+         md5(translate(regexp_replace(d.text, '\\s+', ' ', 'g'),
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
+  FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+    AND f.word_count_ok AND f.mean_word_ok AND f.symbol_ratio_ok
+    AND f.bullet_ratio_ok AND f.ellipsis_ratio_ok AND f.alpha_words_ok
+),
+kept AS (
+  SELECT * FROM (
+    SELECT clean.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM clean
+  ) WHERE rk = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), {R}) AS mean_tokens
+FROM kept GROUP BY lang
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
     punctuation ratio, fingerprint (normalized md5)."""
@@ -2024,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
+        "clean_corpus_stats": q_clean_corpus_stats,
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
@@ -2099,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
+        "clean_corpus_stats": SQL_CLEAN_CORPUS_STATS,
         "corpus_stats": SQL_CORPUS_STATS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "text_stats": SQL_TEXT_STATS,

@@ -96,7 +96,11 @@ def quality_score_expr(text: Column) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_flags_expr(text: Column) -> Column:
+def gopher_flags_expr(
+    text: Column,
+    min_words: int = 50,
+    stopwords: list[str] | None = GOPHER_STOPWORDS,
+) -> Column:
     """Gopher-rules document quality flags (Rae et al. 2021, 'Scaling
     Language Models: ... Gopher', table A1 — the standard pretraining
     corpus filter). Returns a struct of per-rule booleans plus the
@@ -115,7 +119,11 @@ def gopher_flags_expr(text: Column) -> Column:
     line counts via replace()/regexp_extract_all() length deltas. The
     one higher-order function (the alpha-word filter) runs once per
     document on an already-materialized words array — this is a
-    corpus-pass filter, not a per-point hot path."""
+    corpus-pass filter, not a per-point hot path.
+
+    `stopwords=None` disables the stopword rule (it is English-specific;
+    multilingual pipelines localize or drop it); `min_words` lowers the
+    published 50-word floor for short-document corpora."""
     words = F.split(F.trim(text), "\\s+")
     nw = F.greatest(F.size(words), F.lit(1))
     n_alpha_chars = F.length(F.regexp_replace(text, "\\s", ""))
@@ -128,20 +136,24 @@ def gopher_flags_expr(text: Column) -> Column:
     n_bullet = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^\s*[-*]"), 0))
     n_ell_end = F.size(F.regexp_extract_all(text, F.lit(r"(?m)\.\.\.$"), 0))
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(words, lambda w: F.translate(w, _UPPER, _LOWER)),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+    if stopwords is not None:
+        stop_hits = F.size(
+            F.array_intersect(
+                F.transform(words, lambda w: F.translate(w, _UPPER, _LOWER)),
+                F.array(*[F.lit(s) for s in stopwords]),
+            )
         )
-    )
+        stopwords_ok = stop_hits >= 2
+    else:
+        stopwords_ok = F.lit(True)
     flags = {
-        "word_count_ok": (F.size(words) >= 50) & (F.size(words) <= 100000),
+        "word_count_ok": (F.size(words) >= min_words) & (F.size(words) <= 100000),
         "mean_word_ok": (mean_word >= 3) & (mean_word <= 10),
         "symbol_ratio_ok": (n_hash + n_ellipsis) / nw <= 0.1,
         "bullet_ratio_ok": n_bullet / n_lines <= 0.9,
         "ellipsis_ratio_ok": n_ell_end / n_lines <= 0.3,
         "alpha_words_ok": n_alpha_words / nw >= 0.8,
-        "stopwords_ok": stop_hits >= 2,
+        "stopwords_ok": stopwords_ok,
     }
     passes = None
     for c in flags.values():
@@ -151,9 +163,16 @@ def gopher_flags_expr(text: Column) -> Column:
     )
 
 
-def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    stopwords: list[str] | None = GOPHER_STOPWORDS,
+) -> DataFrame:
     """docs filtered to rows passing all Gopher rules."""
-    return docs.filter(gopher_flags_expr(F.col(text_col))["passes"])
+    return docs.filter(
+        gopher_flags_expr(F.col(text_col), min_words=min_words, stopwords=stopwords)["passes"]
+    )
 
 
 def fingerprint_expr(text: Column) -> Column:
