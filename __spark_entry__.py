@@ -1207,6 +1207,62 @@ FROM d
 """
 
 
+def q_pii_counts(spark, sf_dir):
+    """PII-shaped pattern counts per document (emails, URLs, long digit
+    runs) — codegen regexp counts, mirrored 1:1 in DuckDB."""
+    from movingspark.text import pii_counts_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = pii_counts_expr(F.col("text"))
+    return docs.select(
+        "doc_id", p["n_emails"].alias("n_emails"), p["n_urls"].alias("n_urls"),
+        p["n_long_digit_runs"].alias("n_long_digit_runs"),
+    )
+
+
+SQL_PII_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[\\w.+-]+@[\\w-]+\\.[\\w.]+')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       len(regexp_extract_all(text, '\\d{9,}')) AS n_long_digit_runs
+FROM documents
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C): training docs
+    sharing any exact 13-gram with the 'benchmark' slice (every 100th
+    doc — eval data leaked into the corpus). Benchmark gram set is
+    broadcast; the corpus is never shuffled (text.contamination_hits)."""
+    from movingspark.text import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination_hits(docs, bench, n=13)
+
+
+SQL_CONTAMINATION = """
+WITH dw AS (
+  SELECT doc_id,
+         string_split(translate(regexp_replace(text, '\\s+', ' ', 'g'),
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(w[i:i+12], ' ')) AS g
+  FROM (SELECT w FROM dw WHERE doc_id % 100 = 0 AND len(w) >= 13) b,
+       LATERAL UNNEST(range(1, len(w) - 11)) r(i)
+),
+dg AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+12], ' ')) AS g
+  FROM (SELECT doc_id, w FROM dw WHERE len(w) >= 13) d,
+       LATERAL UNNEST(range(1, len(w) - 11)) r(i)
+)
+SELECT doc_id, COUNT(DISTINCT dg.g) AS n_hits
+FROM dg JOIN bg USING (g) GROUP BY doc_id
+"""
+
+
 def q_clean_corpus_stats(spark, sf_dir):
     """End-to-end training-data pipeline under ONE oracle: Gopher
     quality filter -> exact-fingerprint dedup survivors (min doc_id per
@@ -2072,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
         "clean_corpus_stats": q_clean_corpus_stats,
+        "pii_counts": q_pii_counts,
+        "contamination": q_contamination,
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
@@ -2148,6 +2206,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
         "clean_corpus_stats": SQL_CLEAN_CORPUS_STATS,
+        "pii_counts": SQL_PII_COUNTS,
+        "contamination": SQL_CONTAMINATION,
         "corpus_stats": SQL_CORPUS_STATS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "text_stats": SQL_TEXT_STATS,

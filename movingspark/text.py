@@ -93,6 +93,57 @@ def quality_score_expr(text: Column) -> Column:
     return (len_ok + word_ok + punct_ok) / 3.0
 
 
+def pii_counts_expr(text: Column) -> Column:
+    """Counts of common PII-shaped patterns (emails, URLs, long digit
+    runs) — the standard pre-training scrub/flag signals. Pure
+    regexp_extract_all counts (codegen, DuckDB-mirrorable); real
+    redaction would rewrite the text with the same patterns."""
+    email = F.size(F.regexp_extract_all(text, F.lit(r"[\w.+-]+@[\w-]+\.[\w.]+"), 0))
+    url = F.size(F.regexp_extract_all(text, F.lit(r"https?://[^\s]+"), 0))
+    digits = F.size(F.regexp_extract_all(text, F.lit(r"\d{9,}"), 0))
+    return F.struct(
+        email.alias("n_emails"), url.alias("n_urls"), digits.alias("n_long_digit_runs")
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C style): flag training
+    documents sharing any exact word n-gram (default 13) with an eval
+    benchmark. Returns (doc_col, n_hits = #distinct benchmark-colliding
+    n-grams in the doc); docs with no collision are absent.
+
+    Scale shape: the benchmark side (thousands of eval docs) collapses
+    to a DISTINCT md5(n-gram) set that is broadcast; the corpus side
+    explodes its n-grams map-side and semi-joins WITHOUT shuffling the
+    corpus — at 100 TB the only wide op is the final per-doc count,
+    which the explode's doc-partitioning already co-locates. n=13 makes
+    false collisions vanishingly rare, so hashing n-grams (8-byte keys
+    in the broadcast set) is sound."""
+    def grams(df, id_alias):
+        words = F.split(lower_ascii(F.regexp_replace(F.col(text_col), "\\s+", " ")), " ")
+        return (
+            df.select(F.col(doc_col).alias(id_alias), words.alias("__w"))
+            .filter(F.size("__w") >= n)
+            .select(
+                id_alias,
+                F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("__i"),
+                "__w",
+            )
+            .select(id_alias, F.md5(F.concat_ws(" ", F.slice("__w", F.col("__i"), n))).alias("__g"))
+        )
+
+    bench_grams = grams(benchmark, "__bid").select("__g").distinct()
+    doc_grams = grams(docs, doc_col)
+    hits = doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+    return hits.groupBy(doc_col).agg(F.count_distinct("__g").alias("n_hits"))
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

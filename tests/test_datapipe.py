@@ -351,3 +351,25 @@ def test_gopher_rules(spark):
     assert not by[4]["word_count_ok"] and not by[4]["passes"]
     kept = [r["doc_id"] for r in text.gopher_filter(df).select("doc_id").collect()]
     assert kept == [1]
+
+
+def test_contamination_hits_planted_overlap(spark):
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+    leaked = "PREFIX words here " + bench_text + " suffix tail"
+    clean = "totally different words with no overlap at all " * 3
+    docs = spark.createDataFrame(
+        [("t1", leaked), ("t2", clean)], "doc_id string, text string"
+    )
+    bench = spark.createDataFrame([("b1", bench_text)], "doc_id string, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           text.contamination_hits(docs, bench, n=13).collect()}
+    assert got == {"t1": 1}  # exactly the leaked 13-gram; clean doc absent
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [("p1", "mail me at a.b+c@ex-ample.org or see https://x.io/y?z=1 card 1234567890123")],
+        "doc_id string, text string",
+    )
+    r = df.select(text.pii_counts_expr(F.col("text")).alias("p")).select("p.*").collect()[0]
+    assert r["n_emails"] == 1 and r["n_urls"] == 1 and r["n_long_digit_runs"] == 1
