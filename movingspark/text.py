@@ -121,8 +121,9 @@ def contamination_hits(
     Scale shape: the benchmark side (thousands of eval docs) collapses
     to a DISTINCT md5(n-gram) set that is broadcast; the corpus side
     explodes its n-grams map-side and semi-joins WITHOUT shuffling the
-    corpus — at 100 TB the only wide op is the final per-doc count,
-    which the explode's doc-partitioning already co-locates. n=13 makes
+    corpus — at 100 TB the only wide op is the final per-doc count, and
+    it shuffles only the COLLIDING grams (rare by construction), not
+    the corpus or its gram explosion. n=13 makes
     false collisions vanishingly rare, so hashing n-grams (8-byte keys
     in the broadcast set) is sound."""
     def grams(df, id_alias):
