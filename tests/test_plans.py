@@ -200,3 +200,27 @@ def test_connected_components_output_plan_truncated(spark):
     assert "ExistingRDD" in plan
     assert n_exchanges(plan) == 1
     assert "Join" not in plan
+
+
+def test_contamination_no_corpus_exchange_before_semi_join(spark):
+    """Decontamination must broadcast the benchmark gram set and
+    semi-join the corpus grams map-side: the only exchange in the plan
+    is the final per-doc count over colliding grams — never the corpus
+    gram explosion."""
+    from movingspark import text
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "one two three four five six seven eight nine ten eleven twelve thirteen fourteen")
+         for i in range(4)],
+        "doc_id string, text string",
+    )
+    bench = docs.limit(1)
+    plan = plan_of(text.contamination_hits(docs, bench, n=13))
+    assert _no_python_exec(plan)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the corpus branch (the join's streamed left side, rendered with
+    # ":-"/":  " prefixes in the tree) must contain no Exchange: corpus
+    # grams flow scan -> explode -> hash straight into the semi-join.
+    # Post-join exchanges carry only colliding grams and are fine.
+    left_branch = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert left_branch and not any("Exchange" in ln for ln in left_branch)
