@@ -1383,6 +1383,47 @@ WHERE i + {w - 1} <= ng OR (ng < {w} AND i = 1)
 SQL_WINNOW_FINGERPRINTS = _winnow_oracle_sql()
 
 
+def q_winnow_near_dups(spark, sf_dir):
+    """MOSS-style near-dup candidates over winnowing fingerprints
+    (text.winnow_near_dup_pairs): docs sharing >= 2 selected
+    fingerprints, with the shared count. The corpus is augmented with a
+    truncated copy of every 50th doc (ids prefixed 'dup') so overlap
+    detection has planted positives — winnowing guarantees any shared
+    run of >= w+k-1 chars yields a shared fingerprint."""
+    from movingspark.text import winnow_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = docs.filter(F.col("doc_id").cast("long") % 50 == 0).select(
+        F.concat(F.lit("dup"), "doc_id").alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    # min_shared=10 on this corpus: the planted truncated copies share
+    # 12-15 selected fingerprints with their source; incidental
+    # same-vocabulary pairs share mostly 2-9 (measured distribution)
+    return winnow_near_dup_pairs(docs.unionByName(planted), min_shared=10)
+
+
+SQL_WINNOW_NEAR_DUPS = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dup' || CAST(doc_id AS VARCHAR) AS doc_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+fps AS ({_winnow_oracle_sql().replace("FROM documents", "FROM aug")}),
+capped AS (
+  SELECT doc_id AS doc, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= 2000
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2 HAVING COUNT(*) >= 10
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash per document via the scale path (`text.add_simhash`:
     one md5 per token, codegen'd vote sums, map-side partial agg)."""
@@ -2135,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
         "ann_topk_scale": q_ann_topk_scale,
@@ -2213,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "simhash": SQL_SIMHASH,
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "winnow_near_dups": SQL_WINNOW_NEAR_DUPS,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
         "split_value_change": SQL_SPLIT_VALUE_CHANGE,

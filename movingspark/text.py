@@ -293,6 +293,50 @@ def winnow_fingerprints(
     return sel.select(F.col(doc_col), F.col("__fp").alias("fp")).distinct()
 
 
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_fp_doc_freq: int | None = 2000,
+) -> DataFrame:
+    """MOSS-style near-dup detection over winnowing fingerprints
+    (Schleimer et al. 2003 §4): two documents sharing >= `min_shared`
+    selected fingerprints are candidates (a shared fingerprint is a
+    guaranteed shared k-gram; winnowing guarantees any match of length
+    >= w+k-1 shares at least one). Output (doc_a, doc_b, n_shared).
+
+    Scale shape mirrors `ngram_jaccard_pairs`: inverted index on the
+    fingerprint, with `max_fp_doc_freq` capping degenerate fingerprints
+    (boilerplate k-grams present in thousands of docs would emit
+    DF^2/2 candidate rows; capped fingerprints are dropped from pair
+    GENERATION only — matching Stanford MOSS, which ignores
+    over-common fingerprints as 'template code'). Pass None to opt out.
+    """
+    fps = winnow_fingerprints(docs, text_col=text_col, k=k, w=w, doc_col=doc_col)
+    fps = fps.select(F.col(doc_col).alias("doc"), "fp")
+    if max_fp_doc_freq is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("__df", F.count("*").over(wc))
+            .filter(F.col("__df") <= max_fp_doc_freq)
+            .drop("__df")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_expr(text: Column, bits: int = 16) -> Column:
     """SimHash over word tokens: per token take md5-derived bit
     projections; the document hash is the sign-aggregated bit vector.

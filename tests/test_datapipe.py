@@ -373,3 +373,19 @@ def test_pii_counts(spark):
     )
     r = df.select(text.pii_counts_expr(F.col("text")).alias("p")).select("p.*").collect()[0]
     assert r["n_emails"] == 1 and r["n_urls"] == 1 and r["n_long_digit_runs"] == 1
+
+
+def test_winnow_near_dup_pairs_planted(spark):
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy riverbank in early autumn light")
+    docs = spark.createDataFrame(
+        [("a", base + " with an extra unique closing clause here"),
+         ("b", base),  # near-dup of a (long shared prefix)
+         ("c", "completely unrelated content about spark physical plans "
+               "and shuffle partitioning strategies at terabyte scale")],
+        "doc_id string, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in text.winnow_near_dup_pairs(docs, min_shared=2).collect()}
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert not any("c" in p for p in got)
