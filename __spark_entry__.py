@@ -1207,6 +1207,47 @@ FROM d
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition ratios (the Gopher repetition family):
+    duplicate-word fraction and duplicate-bigram fraction — high values
+    flag degenerate/boilerplate text. Array ops over one per-doc words
+    array; per-doc cardinalities are tiny so the interpreted HOF path
+    is irrelevant here (this is a once-per-corpus stats pass)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id", F.split(_lower_ascii(F.trim(F.col("text"))), "\\s+").alias("__w")
+    ).filter(F.size("__w") >= 2)
+    bi = F.expr(
+        "transform(sequence(1, size(__w)-1),"
+        " i -> concat(element_at(__w, i), ' ', element_at(__w, i+1)))"
+    )
+    d = d.withColumn("__b", bi)
+    return d.select(
+        "doc_id",
+        F.round(1.0 - F.size(F.array_distinct("__w")) / F.size("__w"), R).alias("dup_word_frac"),
+        F.round(1.0 - F.size(F.array_distinct("__b")) / F.size("__b"), R).alias("dup_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+             'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM d WHERE len(w) >= 2
+)
+SELECT doc_id,
+       ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), {R}) AS dup_word_frac,
+       ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), {R}) AS dup_bigram_frac
+FROM b
+"""
+
+
 def q_pii_counts(spark, sf_dir):
     """PII-shaped pattern counts per document (emails, URLs, long digit
     runs) — codegen regexp counts, mirrored 1:1 in DuckDB."""
@@ -2170,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "clean_corpus_stats": q_clean_corpus_stats,
         "pii_counts": q_pii_counts,
+        "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
@@ -2249,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": SQL_GOPHER_RULES,
         "clean_corpus_stats": SQL_CLEAN_CORPUS_STATS,
         "pii_counts": SQL_PII_COUNTS,
+        "repetition_stats": SQL_REPETITION_STATS,
         "contamination": SQL_CONTAMINATION,
         "corpus_stats": SQL_CORPUS_STATS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
