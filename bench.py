@@ -154,6 +154,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("winnow_fingerprints", lambda: force(E.q_winnow_fingerprints(spark, sf_dir)))
     run("gap_sessions", lambda: force(E.q_gap_sessions(spark, sf_dir)))
     run("overlay_clip", lambda: force(E.q_overlay_clip(spark, sf_dir)))
+    run("gopher_rules", lambda: force(E.q_gopher_rules(spark, sf_dir)))
+    run("contamination", lambda: force(E.q_contamination(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]

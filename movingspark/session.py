@@ -11,7 +11,13 @@ engine silently degrades 10-100x (measured in this sandbox: the same
 point-in-polygon join ran 1.5 s with a warm JIT and 31-300 s once the
 cache filled; run-over-run times *degraded* 15 s -> 33 s -> 75 s).
 ``UseCodeCacheFlushing`` lets HotSpot evict cold generated methods
-instead of giving up.
+instead of giving up. Round 3 measured the pathology RECURRING at 1 GB
+once the suite grew past ~15 distinct plans: the last queries of a
+17-query suite ran 10-20x slow (winnow 90 s vs 4.6 s, loadavg ~3 on a
+32-thread job — threads parked on compile stalls, not computing) and
+recovered completely at 2 GB with ``SegmentedCodeCache`` (separate
+segments for profiled/non-profiled nmethods cut the flushing-induced
+fragmentation that stalls compilation).
 
 These are JVM-launch-time options: they must be passed to
 ``SparkSession.builder`` before the first ``getOrCreate()`` (and via
@@ -25,7 +31,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-JVM_CODEGEN_OPTS = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+JVM_CODEGEN_OPTS = (
+    "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing -XX:+SegmentedCodeCache"
+)
 
 
 def _scratch_dir() -> str | None:
