@@ -1579,9 +1579,11 @@ def q_ann_topk_scale(spark, sf_dir):
     """Library scale path for ANN top-k (similarity.brute_force_topk):
     vectorized matmul scoring + two-phase distributed top-k (per-partition
     local top-k, then a merge over <= n_partitions*k survivors — no
-    full-corpus shuffle keyed only by query_id). Rows-only driver check:
-    the numpy matmul partial-sum order is not reproducible in DuckDB's
-    sequential list fold, so sim values can differ in the last ulp."""
+    full-corpus shuffle keyed only by query_id). The library rounds sims
+    to 6dp before ranking; DuckDB's sequential list fold agrees with the
+    numpy matmul at 6dp on this data (the same tolerance the green
+    embedding_near_dups oracle rides), so the row set AND ranks are
+    value-checked."""
     import numpy as np
 
     from movingspark import similarity
@@ -1591,7 +1593,25 @@ def q_ann_topk_scale(spark, sf_dir):
     )
     qrows = emb.filter(F.col("vec_id") < 3).collect()
     queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=float) for r in qrows}
-    return similarity.brute_force_topk(emb, queries, k=5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("sim", F.col("sim") + F.lit(0.0))  # -0.0 guard
+
+
+SQL_ANN_TOPK_SCALE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+pairs AS (
+  SELECT query_id, vec_id,
+         ROUND(list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(v, a -> a * a)))
+                  * SQRT(list_sum(list_transform(qv, a -> a * a)))), 6) + 0.0 AS sim
+  FROM emb CROSS JOIN qs WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""
 
 
 def q_split_value_change(spark, sf_dir):
@@ -2301,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dups": SQL_WINNOW_NEAR_DUPS,
         "lang_stats": SQL_LANG_STATS,
         "ann_cosine": SQL_ANN_COSINE,
+        "ann_topk_scale": SQL_ANN_TOPK_SCALE,
         "split_value_change": SQL_SPLIT_VALUE_CHANGE,
         "split_speed": SQL_SPLIT_SPEED,
         "min_length_filter": SQL_MIN_LENGTH_FILTER,
