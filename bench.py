@@ -91,7 +91,14 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             t0 = time.time()
             thunk()
             dt = time.time() - t0
-            if _noisy(pre, _cpu_jiffies()):
+            # a pass is contaminated if the host counters show a storm OR
+            # it is wildly slower than this query's own best (sub-threshold
+            # contention the steal/sys counters miss — measured 3-4x
+            # inflation with clean counters on this VM)
+            contaminated = _noisy(pre, _cpu_jiffies()) or (
+                best != float("inf") and dt > 2.5 * best
+            )
+            if contaminated:
                 noise["noisy_passes"] += 1
                 if noise["retries"] < 2 * len(timings) + 4:
                     noise["retries"] += 1
@@ -173,7 +180,22 @@ def main():
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
+    # The host's contention windows last minutes — longer than one
+    # query's best-of-2, so a single sweep can record a whole stretch of
+    # inflated entries with clean per-pass counters. Sweep the full
+    # suite twice (several minutes apart by construction) and keep each
+    # query's best: a storm would have to span BOTH sweeps to survive.
+    sweeps = int(os.environ.get("SPARK_GRAFT_SWEEPS", "2"))
     timings = bench_queries(spark, sf_dir)
+    for _ in range(sweeps - 1):
+        t2 = bench_queries(spark, sf_dir)
+        for k, v in t2.items():
+            if k == "_noisy_passes":
+                timings[k] = timings.get(k, 0) + v
+            elif k == "_docs_per_sec":
+                timings[k] = max(timings[k], v)
+            else:
+                timings[k] = min(timings[k], v)
     wall = round(time.time() - t0, 3)
     docs_per_sec = timings.pop("_docs_per_sec", None)
     noisy_passes = timings.pop("_noisy_passes", 0)
