@@ -550,6 +550,23 @@ FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
 """
 
 
+def q_tile_rollup_values(spark, sf_dir):
+    """Raster<->vector rollup with a value aggregate (per-cell SUM in
+    addition to counts) — the value path of joins.tile_rollup, rounded
+    tie-robustly (parallel vs sequential double-sum order)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS, value_col="x")
+    return _round2(out, ["sum_value"])
+
+
+SQL_TILE_ROLLUP_VALUES = f"""
+SELECT {cells.cell_id_sql('x', 'y', CELL_RES, CELL_BOUNDS)} AS cell,
+       COUNT(*) AS n_points, COUNT(DISTINCT traj_id) AS n_trajs,
+       ROUND(ROUND(SUM(x), 9), {R}) + 0.0 AS sum_value
+FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
+"""
+
+
 def q_tile_rollup_salted(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     return joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS, n_salt=8).select(
@@ -2209,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_clean": q_iqr_clean,
         "min_duration_filter": q_min_duration_filter,
         "tile_rollup": q_tile_rollup,
+        "tile_rollup_values": q_tile_rollup_values,
         "tile_rollup_salted": q_tile_rollup_salted,
         "point_in_polygon": q_point_in_polygon,
         "intersecting_trajs": q_intersecting_trajs,
@@ -2289,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "iqr_clean": SQL_IQR_CLEAN,
         "min_duration_filter": SQL_MIN_DURATION_FILTER,
         "tile_rollup": SQL_TILE_ROLLUP,
+        "tile_rollup_values": SQL_TILE_ROLLUP_VALUES,
         "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
