@@ -574,6 +574,15 @@ def q_tile_rollup_salted(spark, sf_dir):
     )
 
 
+def q_tile_rollup_values_salted(spark, sf_dir):
+    """Two-phase SALTED rollup with a value aggregate: per-(cell,salt)
+    partial sums then the final merge — the skew-safe shape for a hot
+    tile, value path included."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS, n_salt=8, value_col="x")
+    return _round2(out.select("cell", "n_points", "n_trajs", "sum_value"), ["sum_value"])
+
+
 def q_point_in_polygon(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     return joins.point_in_polygon_join(
@@ -2228,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_rollup_values": q_tile_rollup_values,
         "tile_rollup_salted": q_tile_rollup_salted,
+        "tile_rollup_values_salted": q_tile_rollup_values_salted,
         "point_in_polygon": q_point_in_polygon,
         "intersecting_trajs": q_intersecting_trajs,
         "intersecting_trajs_line": q_intersecting_trajs_line,
@@ -2308,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "min_duration_filter": SQL_MIN_DURATION_FILTER,
         "tile_rollup": SQL_TILE_ROLLUP,
         "tile_rollup_values": SQL_TILE_ROLLUP_VALUES,
+        "tile_rollup_values_salted": SQL_TILE_ROLLUP_VALUES,
         "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
