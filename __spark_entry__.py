@@ -748,6 +748,52 @@ SELECT traj_id, t, x, y, cluster_id, ROUND(dist, {R}) AS dist, rk AS knn_rank FR
 """
 
 
+def q_knn_latlon(spark, sf_dir):
+    """J6 on the GEOGRAPHIC path: nearest centroid by spherical
+    (haversine) distance — joins.knn_join(latlon=True,
+    metric="haversine"): the same map-side min_by plan with the
+    distance a codegen'd column expression (no Arrow workers; the
+    WGS84 Vincenty kernel remains the reference-parity default).
+    Meter-scale distances are rounded to centimeters (2dp): JVM-vs-C
+    trig ulps at ~5e6 m are the same size as a 9dp grid, so the usual
+    5dp tie-robust round cannot absorb them (see q_kinematics_latlon)."""
+    pts = _events(spark, sf_dir).select(
+        "traj_id", "t",
+        F.col("x").alias("x"),
+        (F.col("y") * 0.8 - 40.0).alias("y"),
+    )
+    cents = spark.createDataFrame(
+        [(c, cx, cy * 0.8 - 40.0) for c, cx, cy in KNN_CENTROIDS],
+        "cluster_id string, cx double, cy double",
+    )
+    out = joins.knn_join(pts, cents, k=1, latlon=True, metric="haversine")
+    out = out.select("traj_id", "t", "x", "y", "cluster_id", "dist")
+    out = _round2(out, ["y"])
+    return out.withColumn("dist", F.round(F.col("dist"), 2) + F.lit(0.0))
+
+
+_CENT_LL_VALUES = ", ".join(f"('{c}', {x}, {y * 0.8 - 40.0})" for c, x, y in KNN_CENTROIDS)
+SQL_KNN_LATLON = f"""
+WITH pts AS (
+  SELECT traj_id, t, x, y * 0.8 - 40.0 AS y FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+cents(cluster_id, cx, cy) AS (VALUES {_CENT_LL_VALUES}),
+scored AS (
+  SELECT pts.*, cents.cluster_id,
+         2.0 * 6371000.0 * ASIN(SQRT(LEAST(
+             POWER(SIN(RADIANS(cy - y) / 2), 2)
+             + COS(RADIANS(y)) * COS(RADIANS(cy))
+               * POWER(SIN(RADIANS(cx - x) / 2), 2), 1.0))) AS hav
+  FROM pts CROSS JOIN cents
+)
+SELECT traj_id, t, x, ROUND(ROUND(y, 9), {R}) + 0.0 AS y, cluster_id,
+       ROUND(hav, 2) + 0.0 AS dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
+          ORDER BY hav, cluster_id) AS rk FROM scored)
+WHERE rk = 1
+"""
+
+
 def q_flows(spark, sf_dir):
     """A12/X18 flow map: nearest-centroid per point (broadcast kNN),
     compress consecutive repeats per trajectory, count transitions
@@ -2244,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_point_distance": q_traj_point_distance,
         "knn": q_knn,
         "knn_top3": q_knn_top3,
+        "knn_latlon": q_knn_latlon,
         "flows": q_flows,
         "visit_counts": q_visit_counts,
         "doc_points": q_doc_points,
@@ -2326,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "traj_point_distance": SQL_TRAJ_POINT_DISTANCE,
         "knn": SQL_KNN,
         "knn_top3": SQL_KNN_TOP3,
+        "knn_latlon": SQL_KNN_LATLON,
         "flows": SQL_FLOWS,
         "visit_counts": SQL_VISIT_COUNTS,
         "doc_points": SQL_DOC_POINTS,

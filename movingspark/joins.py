@@ -316,6 +316,7 @@ def knn_join(
     latlon: bool = False,
     cols: PointCols = TRAJ_COLS,
     centroid_cols=("cluster_id", "cx", "cy"),
+    metric: str | None = None,
 ) -> DataFrame:
     """J6: for each point the k nearest centroids (broadcast cross-join +
     per-point top-k). Correct for any centroid count; efficient when the
@@ -323,10 +324,22 @@ def knn_join(
     centroids). Ties broken by centroid id for determinism.
 
     k=1 (the reference aggregator's only use) avoids the window sort
-    entirely — see `_nn1_agg`. k>1 keeps the row_number window path."""
+    entirely — see `_nn1_agg`. k>1 keeps the row_number window path.
+
+    metric="haversine" (with latlon=True) keeps the distance a pure
+    codegen column expression instead of the reference-parity WGS84
+    Vincenty Arrow kernel — the 100 TB shape for geographic kNN: no
+    Python workers on the scoring path, argmin differences vs the
+    ellipsoid only matter for points near-equidistant between two
+    centroids at the ~0.3% sphere-vs-WGS84 scale."""
     cid, cx, cy = centroid_cols
     cross = points.join(F.broadcast(centroids), how="cross")
-    d = dist_expr(F.col(cols.x), F.col(cols.y), F.col(cx), F.col(cy), latlon)
+    if latlon and metric == "haversine":
+        from movingspark.derive import haversine_expr
+
+        d = haversine_expr(F.col(cols.x), F.col(cols.y), F.col(cx), F.col(cy))
+    else:
+        d = dist_expr(F.col(cols.x), F.col(cols.y), F.col(cx), F.col(cy), latlon)
     cross = cross.withColumn("dist", d)
     if k == 1:
         return _nn1_agg(cross, points.columns, centroid_cols)
