@@ -794,6 +794,39 @@ WHERE rk = 1
 """
 
 
+QUERY_ROUTE = [(30.0, 20.0), (90.0, 50.0), (150.0, 80.0), (60.0, 90.0)]
+
+
+def q_hausdorff_route(spark, sf_dir):
+    """Trajectory similarity search: directed discrete Hausdorff from
+    every trajectory's points to a fixed query route
+    (pairs.hausdorff_to_polyline) — one scan, LEAST over codegen'd
+    segment distances, map-side MAX per trajectory."""
+    from movingspark import pairs
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return _round2(pairs.hausdorff_to_polyline(pts, QUERY_ROUTE), ["hausdorff"])
+
+
+def _hausdorff_route_sql() -> str:
+    terms = []
+    for (ax, ay), (bx, by) in zip(QUERY_ROUTE, QUERY_ROUTE[1:]):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = f"LEAST(GREATEST(((x - {ax}) * {dx} + (y - {ay}) * {dy}) / {len2}, 0.0), 1.0)"
+        terms.append(
+            f"SQRT(POWER(x - ({ax} + {t} * {dx}), 2) + POWER(y - ({ay} + {t} * {dy}), 2))"
+        )
+    d = "LEAST(" + ", ".join(terms) + ")"
+    return f"""
+SELECT traj_id, ROUND(ROUND(MAX({d}), 9), {R}) + 0.0 AS hausdorff
+FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY traj_id
+"""
+
+
+SQL_HAUSDORFF_ROUTE = _hausdorff_route_sql()
+
+
 def q_flows(spark, sf_dir):
     """A12/X18 flow map: nearest-centroid per point (broadcast kNN),
     compress consecutive repeats per trajectory, count transitions
@@ -2291,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_top3": q_knn_top3,
         "knn_latlon": q_knn_latlon,
+        "hausdorff_route": q_hausdorff_route,
         "flows": q_flows,
         "visit_counts": q_visit_counts,
         "doc_points": q_doc_points,
@@ -2374,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": SQL_KNN,
         "knn_top3": SQL_KNN_TOP3,
         "knn_latlon": SQL_KNN_LATLON,
+        "hausdorff_route": SQL_HAUSDORFF_ROUTE,
         "flows": SQL_FLOWS,
         "visit_counts": SQL_VISIT_COUNTS,
         "doc_points": SQL_DOC_POINTS,

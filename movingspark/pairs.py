@@ -145,3 +145,37 @@ def distance_to_point(df: DataFrame, qx: float, qy: float, cols: PointCols = TRA
     ay = F.coalesce(F.col("__py"), F.col(cols.y))
     d = point_segment_dist_expr(qx, qy, ax, ay, F.col(cols.x), F.col(cols.y))
     return seg.withColumn("__d", d).groupBy(cols.traj_id).agg(F.min("__d").alias("min_distance"))
+
+
+def hausdorff_to_polyline(
+    df: DataFrame, polyline: list[tuple[float, float]], cols: PointCols = TRAJ_COLS
+) -> DataFrame:
+    """Directed discrete Hausdorff from each trajectory's POINTS to a
+    fixed query polyline: max over the trajectory's points of the min
+    distance to any polyline segment — the similarity-search primitive
+    "rank all trajectories by how far they stray from this route".
+
+    Pure codegen: the polyline is a handful of driver-known segments,
+    so per point the distance is a LEAST() over a few clamp-projection
+    expressions (same arithmetic as point_segment_dist_expr with the
+    roles swapped — point is a column, segment is constant), then one
+    map-side-combinable MAX per trajectory. No Python, no join, no
+    second shuffle: at 100 TB this is a single scan + one partial agg."""
+    x, y = F.col(cols.x), F.col(cols.y)
+    dists = []
+    for (ax, ay), (bx, by) in zip(polyline, polyline[1:]):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            dists.append(F.sqrt((x - ax) * (x - ax) + (y - ay) * (y - ay)))
+            continue
+        t_raw = ((x - ax) * dx + (y - ay) * dy) / F.lit(len2)
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        cx, cy = F.lit(ax) + t * dx, F.lit(ay) + t * dy
+        dists.append(F.sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)))
+    d = F.least(*dists) if len(dists) > 1 else dists[0]
+    return (
+        df.withColumn("__d", d)
+        .groupBy(cols.traj_id)
+        .agg(F.max("__d").alias("hausdorff"))
+    )
