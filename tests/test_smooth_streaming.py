@@ -217,3 +217,29 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # batch fallback: same fingerprints, one survivor per cluster
     batch_kept = streaming.streaming_dedup(df).select("doc_id").collect()
     assert len(batch_kept) == 2
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    """Quality filtering is a pure projection, so the SAME gopher/PII
+    exprs run unchanged on a readStream source — prove it end-to-end."""
+    from movingspark.text import gopher_flags_expr, pii_counts_expr
+    from pyspark.sql import functions as F
+
+    good = "the quick brown fox jumps over the lazy dog and runs to town with speed " * 8
+    df = spark.createDataFrame(
+        [("g", good), ("b", "too short")], "doc_id string, text string"
+    )
+    src = str(tmp_path / "qsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream.filter(gopher_flags_expr(F.col("text"))["passes"]).select(
+        "doc_id", pii_counts_expr(F.col("text")).alias("pii")
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("quality_test").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from quality_test").collect()
+    assert [r["doc_id"] for r in rows] == ["g"]
+    assert rows[0]["pii"]["n_emails"] == 0
