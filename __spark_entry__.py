@@ -2297,60 +2297,33 @@ FROM d
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the correctness driver checks the FIRST 50 dict
+    # entries each round. Round 3's run covered the 50 oldest; the 29
+    # entries below were verified green with the identical tool
+    # (tools/check_correctness.py, sf0.01) but had no driver row yet,
+    # so for round 4 they come first. The tail re-checks the most
+    # load-bearing of the already-driver-green set; r04 ∪ r03 covers
+    # the whole registry.
     return {
-        "traj_construction": q_traj_construction,
-        "derive_kinematics": q_derive_kinematics,
-        "traj_summary": q_traj_summary,
-        "locations_at": q_locations_at,
-        "interpolate_position_at": q_interpolate_position_at,
-        "segment_between": q_segment_between,
-        "filter_by_first_value": q_filter_by_first_value,
-        "line_export": q_line_export,
-        "split_gap": q_split_gap,
-        "gap_sessions": q_gap_sessions,
-        "split_temporal_day": q_split_temporal_day,
-        "split_temporal_2h": q_split_temporal_2h,
-        "traj_gdf_agg": q_traj_gdf_agg,
-        "iqr_clean": q_iqr_clean,
-        "min_duration_filter": q_min_duration_filter,
-        "tile_rollup": q_tile_rollup,
-        "tile_rollup_values": q_tile_rollup_values,
-        "tile_rollup_salted": q_tile_rollup_salted,
-        "tile_rollup_values_salted": q_tile_rollup_values_salted,
-        "point_in_polygon": q_point_in_polygon,
-        "intersecting_trajs": q_intersecting_trajs,
-        "intersecting_trajs_line": q_intersecting_trajs_line,
-        "traj_point_distance": q_traj_point_distance,
-        "knn": q_knn,
-        "knn_top3": q_knn_top3,
-        "knn_latlon": q_knn_latlon,
-        "hausdorff_route": q_hausdorff_route,
-        "flows": q_flows,
-        "visit_counts": q_visit_counts,
-        "doc_points": q_doc_points,
-        "span_invariant": q_span_invariant,
-        "doc_tiling": q_doc_tiling,
-        "doc_spatial_join": q_doc_spatial_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_banded": q_dedup_minhash_banded,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "semantic_dedup": q_semantic_dedup,
-        "gopher_rules": q_gopher_rules,
-        "clean_corpus_stats": q_clean_corpus_stats,
-        "pii_counts": q_pii_counts,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "corpus_stats": q_corpus_stats,
-        "stratified_sample": q_stratified_sample,
-        "text_stats": q_text_stats,
-        "simhash": q_simhash,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_near_dups": q_winnow_near_dups,
+        # -- never driver-checked before r4 (all locally green) ----------
+        "overlay_clip": q_overlay_clip,
+        "overlay_intersection": q_overlay_intersection,
+        "split_angle": q_split_angle,
+        "split_stop": q_split_stop,
+        "kalman_smooth": q_kalman_smooth,
+        "sig_points": q_sig_points,
+        "cluster_centroids": q_cluster_centroids,
+        "mfjson_roundtrip": q_mfjson_roundtrip,
+        "generalize_min_distance": q_generalize_min_distance,
+        "generalize_min_timedelta": q_generalize_min_timedelta,
+        "generalize_max_distance": q_generalize_max_distance,
+        "generalize_tdtr": q_generalize_tdtr,
+        "outlier_clean": q_outlier_clean,
+        "ann_topk_scale": q_ann_topk_scale,
+        "offset_minutes": q_offset_minutes,
+        "kinematics_latlon": q_kinematics_latlon,
         "lang_stats": q_lang_stats,
         "ann_cosine": q_ann_cosine,
-        "ann_topk_scale": q_ann_topk_scale,
         "split_value_change": q_split_value_change,
         "split_speed": q_split_speed,
         "min_length_filter": q_min_length_filter,
@@ -2362,21 +2335,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "stop_points": q_stop_points,
         "generalize_dp": q_generalize_dp,
-        "generalize_min_distance": q_generalize_min_distance,
-        "generalize_min_timedelta": q_generalize_min_timedelta,
-        "generalize_max_distance": q_generalize_max_distance,
-        "generalize_tdtr": q_generalize_tdtr,
-        "outlier_clean": q_outlier_clean,
-        "overlay_clip": q_overlay_clip,
-        "overlay_intersection": q_overlay_intersection,
-        "split_angle": q_split_angle,
-        "split_stop": q_split_stop,
-        "kalman_smooth": q_kalman_smooth,
-        "sig_points": q_sig_points,
-        "cluster_centroids": q_cluster_centroids,
-        "mfjson_roundtrip": q_mfjson_roundtrip,
-        "offset_minutes": q_offset_minutes,
-        "kinematics_latlon": q_kinematics_latlon,
+        # -- most load-bearing re-checks (driver-green in r03) -----------
+        "span_invariant": q_span_invariant,
+        "traj_construction": q_traj_construction,
+        "derive_kinematics": q_derive_kinematics,
+        "traj_summary": q_traj_summary,
+        "locations_at": q_locations_at,
+        "split_gap": q_split_gap,
+        "point_in_polygon": q_point_in_polygon,
+        "knn": q_knn,
+        "flows": q_flows,
+        "doc_spatial_join": q_doc_spatial_join,
+        "doc_tiling": q_doc_tiling,
+        "tile_rollup_salted": q_tile_rollup_salted,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "gopher_rules": q_gopher_rules,
+        "contamination": q_contamination,
+        "simhash": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # -- beyond the driver's 50-row window (driver-green in r03) -----
+        "interpolate_position_at": q_interpolate_position_at,
+        "segment_between": q_segment_between,
+        "filter_by_first_value": q_filter_by_first_value,
+        "line_export": q_line_export,
+        "gap_sessions": q_gap_sessions,
+        "split_temporal_day": q_split_temporal_day,
+        "split_temporal_2h": q_split_temporal_2h,
+        "traj_gdf_agg": q_traj_gdf_agg,
+        "iqr_clean": q_iqr_clean,
+        "min_duration_filter": q_min_duration_filter,
+        "tile_rollup": q_tile_rollup,
+        "tile_rollup_values": q_tile_rollup_values,
+        "tile_rollup_values_salted": q_tile_rollup_values_salted,
+        "intersecting_trajs": q_intersecting_trajs,
+        "intersecting_trajs_line": q_intersecting_trajs_line,
+        "traj_point_distance": q_traj_point_distance,
+        "knn_top3": q_knn_top3,
+        "knn_latlon": q_knn_latlon,
+        "hausdorff_route": q_hausdorff_route,
+        "visit_counts": q_visit_counts,
+        "doc_points": q_doc_points,
+        "dedup_minhash": q_dedup_minhash,
+        "semantic_dedup": q_semantic_dedup,
+        "clean_corpus_stats": q_clean_corpus_stats,
+        "pii_counts": q_pii_counts,
+        "repetition_stats": q_repetition_stats,
+        "corpus_stats": q_corpus_stats,
+        "stratified_sample": q_stratified_sample,
+        "text_stats": q_text_stats,
+        "winnow_near_dups": q_winnow_near_dups,
     }
 
 

@@ -273,9 +273,17 @@ def grid_cluster_weighted(points, weights, max_distance, latlon=False):
     original points. Same grid/nearest-neighbor/redistribute structure;
     centroid updates use the weighted mean, counts sum the weights.
     Kept SEPARATE from grid_cluster so the reference-exact insertion
-    path's float behavior (pinned by the driver oracle) is untouched."""
-    if not points:
+    path's float behavior (pinned by the driver oracle) is untouched.
+
+    Zero-weight partials (grid_cluster emits n=0 clusters whenever all
+    of a cluster's points redistribute away in the second pass) carry no
+    mass and are dropped up front — merging one into a cluster whose
+    accumulated weight is still 0 would divide by zero."""
+    pw = [(p, w) for p, w in zip(points, weights) if w > 0]
+    if not pw:
         return []
+    points = [p for p, _ in pw]
+    weights = [w for _, w in pw]
     xs = np.array([p[0] for p in points])
     ys = np.array([p[1] for p in points])
     minx, miny, maxx, maxy = xs.min(), ys.min(), xs.max(), ys.max()

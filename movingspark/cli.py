@@ -70,12 +70,21 @@ def cmd_pipeline(args) -> int:
 
 def cmd_dedup(args) -> int:
     """Training-data dedup job: [gopher quality filter] -> banded
-    MinHash LSH pairs -> connected components -> survivors, each stage
-    checkpointed with lineage (resume by re-running with the same
-    --checkpoints path). Survivors land at --output as parquet."""
+    MinHash LSH pairs -> exact-Jaccard verification -> connected
+    components -> survivors, each stage checkpointed with lineage
+    (resume by re-running with the same --checkpoints path). Survivors
+    land at --output as parquet.
+
+    The verification stage is what makes deletion safe: banded LSH
+    pairs are CANDIDATES (a J~0.3 pair collides in some band with ~50%
+    probability at b=8/r=2, and over-cap band buckets are chain-linked
+    by key alone), so each candidate's n-gram Jaccard is recomputed
+    exactly and only pairs >= --threshold feed the components stage.
+    --no-verify opts out (recall-max mode: deletes on raw band
+    collisions; documented precision trade)."""
     from movingspark import components, ingest
     from movingspark.checkpoint import Checkpointer
-    from movingspark.text import gopher_filter, minhash_band_pairs
+    from movingspark.text import gopher_filter, minhash_band_pairs, verify_pairs_jaccard
 
     spark = build_session("movingspark-dedup")
     ck = Checkpointer(spark, args.checkpoints)
@@ -106,6 +115,14 @@ def cmd_dedup(args) -> int:
         lambda: minhash_band_pairs(docs, "doc_id", "text",
                                    max_band_bucket=args.max_band_bucket),
     )
+    if not args.no_verify:
+        docs_v = docs
+        pairs = ck.stage(
+            "verify",
+            lambda: verify_pairs_jaccard(
+                docs_v, pairs, "doc_id", "text", threshold=args.threshold
+            ).select("doc_a", "doc_b"),
+        )
     comp = ck.stage("components", lambda: components.connected_components(
         pairs, src="doc_a", dst="doc_b"))
     losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -155,6 +172,10 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--gopher", action="store_true", help="apply the Gopher quality filter first")
     d.add_argument("--max-band-bucket", type=int, default=2000)
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="exact n-gram Jaccard a candidate pair must reach before its docs dedup")
+    d.add_argument("--no-verify", action="store_true",
+                   help="skip exact verification and dedup on raw band collisions (recall-max)")
     d.set_defaults(fn=cmd_dedup)
 
     k = sub.add_parser("kinematics")

@@ -127,7 +127,9 @@ def geodesic(lon1, lat1, lon2, lat2, iterations=60, tol=1e-12):
     # ALWAYS-convergent Vincenty direct problem (scalar loop — these
     # pairs are vanishingly rare in trajectory data)
     if active.any():
-        bad = np.nonzero(active & ~same)
+        # atleast_1d: scalar inputs make the mask 0-d, and 0-d nonzero
+        # is an error on numpy >= 2.0
+        bad = np.nonzero(np.atleast_1d(active & ~same))
         flat = dist.copy() if dist.shape else np.atleast_1d(dist).copy()
         lo1, la1 = np.broadcast_to(lon1, flat.shape), np.broadcast_to(lat1, flat.shape)
         lo2, la2 = np.broadcast_to(lon2, flat.shape), np.broadcast_to(lat2, flat.shape)

@@ -189,15 +189,32 @@ def streaming_dedup(
     too (falls back to plain per-fingerprint dedup).
 
     The batch twin is `text.fingerprint_expr` + groupBy (q_dedup_exact);
-    the fingerprints are identical, so a backfill batch job and the
-    live stream agree on survivors."""
+    the fingerprints are identical, so a backfill batch job and the live
+    stream agree on the deduped fingerprint set. Survivor IDENTITY: the
+    batch branch deterministically keeps the minimum-`t_col` row per
+    fingerprint (exact timestamp ties broken by a stable row digest, so
+    any tied survivors are interchangeable rows); the stream keeps the
+    first row PROCESSED, so the two agree on identity exactly when
+    events arrive in event-time order — a late arrival that beats the
+    stored row's event time survives in the stream but not in the
+    backfill (documented divergence, inherent to arrival-order state)."""
+    from pyspark.sql import Window
+
     from movingspark.text import fingerprint_expr
 
     tagged = stream.withColumn("__fp", fingerprint_expr(F.col(text_col)))
     if tagged.isStreaming:
         out = tagged.withWatermark(t_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
     else:
-        out = tagged.dropDuplicates(["__fp"])
+        digest = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in stream.columns]))
+        )
+        w = Window.partitionBy("__fp").orderBy(F.col(t_col).asc(), digest.asc())
+        out = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return out.drop("__fp")
 
 

@@ -455,6 +455,66 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-similarity verification for LSH candidate pairs: recompute
+    the n-gram Jaccard from the full shingle sets of ONLY the docs that
+    appear in `pairs` (doc_a, doc_b) and keep pairs with J >= threshold.
+
+    This is the precision stage banded LSH needs before any destructive
+    action: a single band collision (J~0.3 docs collide with ~50%
+    probability at b=8/r=2) and the over-cap chain diversion both emit
+    pairs that merely SHARE A BAND KEY. Verifying here means a dedup job
+    never deletes a document on a raw band collision.
+
+    Scale shape: candidate docs are a small fraction of the corpus, so
+    the semi-join prunes the shingling work to touched docs; the pair
+    table then picks up both shingle arrays via two hash joins and the
+    Jaccard is a codegen array_intersect — no index self-join, no
+    quadratic path."""
+    touched = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    words = F.split(lower_ascii(F.col(text_col)), "\\s+")
+    wbase = (
+        docs.select(F.col(id_col).alias("doc"), words.alias("__w"))
+        .join(touched, "doc", "left_semi")
+    )
+    sh = (
+        wbase.select(
+            "doc",
+            "__w",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0)))).alias("k"),
+        )
+        .select("doc", F.md5(F.concat_ws(" ", F.slice("__w", F.col("k") + 1, n))).alias("shingle"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    ba = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("__sha"))
+    bb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("__shb"))
+    return (
+        pairs.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.size("__sha") + F.size("__shb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
+    )
+
+
 def add_simhash(
     df: DataFrame,
     id_col: str,

@@ -136,3 +136,17 @@ def test_cluster_scale_fallback_two_level(spark):
     want = aggregate.grid_cluster(pts, 10.0)
     got_small = [(r["cx"], r["cy"], r["n"]) for r in small.orderBy("cluster_id").collect()]
     assert [(c[0], c[1], c[2]) for c in want] == got_small
+
+
+def test_grid_cluster_weighted_zero_weight_partials():
+    """Zero-weight partials (grid_cluster emits n=0 clusters when all
+    points redistribute away) must not divide-by-zero when they merge
+    into a still-massless cluster, and must not shift any centroid."""
+    # all-zero weights: no mass anywhere -> no clusters
+    assert aggregate.grid_cluster_weighted([(0, 0), (0.1, 0.1)], [0, 0], 10.0) == []
+    # zero-weight partial alongside real mass: same result as without it
+    with_zero = aggregate.grid_cluster_weighted(
+        [(0.0, 0.0), (0.1, 0.1), (5.0, 5.0)], [0, 3, 2], 10.0
+    )
+    without = aggregate.grid_cluster_weighted([(0.1, 0.1), (5.0, 5.0)], [3, 2], 10.0)
+    assert with_zero == without

@@ -389,3 +389,50 @@ def test_winnow_near_dup_pairs_planted(spark):
            for r in text.winnow_near_dup_pairs(docs, min_shared=2).collect()}
     assert ("a", "b") in got and got[("a", "b")] >= 2
     assert not any("c" in p for p in got)
+
+
+def test_verify_pairs_jaccard_guards_band_collisions(spark):
+    """The CLI dedup's verification stage: LSH candidates that merely
+    share a band key must NOT survive into the components stage; real
+    near-dups must."""
+    from movingspark.text import verify_pairs_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            ("a", base),
+            ("b", base + " ok"),  # true near-dup of a
+            ("c", "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id string, text string",
+    )
+    # candidate pairs as banded LSH could emit them: one real, one collision
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "doc_a string, doc_b string"
+    )
+    kept = verify_pairs_jaccard(docs, pairs, "doc_id", "text", threshold=0.5)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in kept.collect()}
+    assert ("a", "b") in rows and rows[("a", "b")] >= 0.5
+    assert ("a", "c") not in rows
+
+
+def test_cli_dedup_verify_stage(spark, tmp_path):
+    """End-to-end: with verification on (default), a planted band
+    collision does not delete a non-duplicate doc; true dups still
+    dedup."""
+    import json
+    from movingspark.cli import main
+
+    out = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+    rc = main([
+        "dedup", "--checkpoints", ck, "--output", out, "--synth-docs", "500",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # the synth job plants dup-<id> copies of every doc_id ending in 00:
+    # exactly one of each (original, dup-) pair survives
+    originals = {i for i in ids if not i.startswith("dup-")}
+    for i in sorted(originals):
+        assert f"dup-{i}" not in ids

@@ -138,3 +138,18 @@ def test_geodesic_antipodal_roundtrip_consistency():
         s = float(K.geodesic(lon1, lat1, lon2, lat2))
         # shortest path is never longer than the half-meridian + flattening slack
         assert 19800000.0 < s < 20037509.0
+
+
+def test_geodesic_scalar_antipodal_fallback():
+    """Scalar inputs hitting the antipodal shooting path: 0-d masks used
+    to break np.nonzero (deprecated on 0-d, an error on numpy >= 2)."""
+    d = K.geodesic(0.0, 0.0, 179.7, 0.2)
+    assert isinstance(float(d), float)
+    # agrees with the same pair evaluated through the vector path
+    dv = K.geodesic(
+        np.array([0.0]), np.array([0.0]), np.array([179.7]), np.array([0.2])
+    )[0]
+    assert d == dv
+    # sanity: close to the half-meridian scale, way beyond haversine's
+    # worst-case ~11 km error band around 2.0e7
+    assert 1.99e7 < d < 2.01e7

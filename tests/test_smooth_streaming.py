@@ -243,3 +243,25 @@ def test_streaming_quality_filter(spark, tmp_path):
     rows = spark.sql("select * from quality_test").collect()
     assert [r["doc_id"] for r in rows] == ["g"]
     assert rows[0]["pii"]["n_emails"] == 0
+
+
+def test_batch_dedup_survivor_deterministic(spark):
+    """The batch fallback keeps the minimum-ingest_t row per fingerprint
+    regardless of partitioning, matching an in-event-time-order stream's
+    first-seen survivor."""
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        ("late", "Same TEXT", t0 + dt.timedelta(seconds=60)),
+        ("early", "same   text", t0),
+        ("mid", "SAME text", t0 + dt.timedelta(seconds=30)),
+        ("other", "different", t0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, ingest_t timestamp")
+    for parts in (1, 7):
+        kept = sorted(
+            r["doc_id"]
+            for r in streaming.streaming_dedup(df.repartition(parts)).collect()
+        )
+        assert kept == ["early", "other"]

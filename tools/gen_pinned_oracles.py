@@ -499,7 +499,10 @@ def main():
     if args and args[-1].endswith(".py"):
         out_py = args[-1]
         args = args[:-1]
-    sf_dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    # default order matches the committed artifact: sf0.001 first, so a
+    # no-arg regeneration keeps PINNED_SQL (= sf_dirs[0]) and the header
+    # claim pointing at the same sf the artifact was generated with
+    sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     by_sf = {}
     stats = {}
     for sf_dir in sf_dirs:
@@ -522,7 +525,19 @@ def main():
                 f.write(f"        {k!r}: {v!r},\n")
             f.write("    },\n")
         f.write("}\n\n")
-        f.write(f"PINNED_SQL = PINNED_SQL_BY_SF[{primary!r}]\n")
+        f.write(f"PINNED_SQL = PINNED_SQL_BY_SF[{primary!r}]\n\n")
+        # fingerprint the input data: pinned values are only valid for the
+        # exact parquet bytes they were generated from (round 4 lesson: a
+        # driver testdata regeneration flipped a few float-boundary stops
+        # and silently stranded the committed artifact)
+        import hashlib
+        fps = {}
+        for sf_dir in sf_dirs:
+            h = hashlib.md5()
+            with open(f"{sf_dir}/events.parquet", "rb") as ef:
+                h.update(ef.read())
+            fps[sf_dir] = h.hexdigest()
+        f.write(f"DATA_FINGERPRINT = {fps!r}\n")
     for sf_dir in sf_dirs:
         print(f"{sf_dir}: dp/hull/stops/overlay/angle/kalman/sig/clusters = {stats[sf_dir]}")
     print(f"wrote {out_py}")
