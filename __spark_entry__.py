@@ -1488,9 +1488,10 @@ FROM documents
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al. 2003):
     Rabin-Karp k-gram polynomial hash (base 257, mod 2^31-1) + per-window
-    minimum selection, all JVM-side codegen (text.winnow_fingerprints).
-    The DuckDB oracle recomputes the identical polynomial and window min
-    independently."""
+    minimum selection, one Arrow-batched mapInPandas kernel with no gram
+    rows in the plan (text.winnow_fingerprints). The DuckDB oracle
+    recomputes the identical polynomial and window min independently in
+    pure SQL, so the kernel stays bit-exactness-checked."""
     from movingspark.text import winnow_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

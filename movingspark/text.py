@@ -250,47 +250,80 @@ def winnow_fingerprints(
     positions are reported). Documents shorter than w grams emit their
     global minimum. Output: (doc_col, fp long), distinct.
 
-    Everything is JVM-side codegen: explode(sequence) generates gram
-    starts, the k-term polynomial (base 257, mod 2^31-1 — exactly
-    representable in BIGINT on both engines) is an unrolled nested
-    expression over ascii(substring(gram)), and selection is one
-    window MIN over (doc, gram_index) — a single hash exchange. At
-    scale the gram explosion is O(chars) rows that never leave the
-    executor: distinct pre-aggregates map-side before the shuffle."""
-    t = lower_ascii(F.regexp_replace(F.col(text_col), "\\s+", " "))
-    base, mod = 257, 2147483647
-    h_sql = "CAST(0 AS BIGINT)"  # BIGINT chain: residue*257+255 < 2^63
-    for j in range(1, k + 1):
-        h_sql = f"(({h_sql} * {base} + ascii(substring(__g, {j}, 1))) % {mod})"
-    from pyspark.sql import Window
+    Execution: ONE Arrow-batched mapInPandas pass over whole documents —
+    per doc, codepoints come from a numpy view of the UTF-32 encoding,
+    the k-term polynomial is k vectorized Horner passes (int64: residue
+    * 257 + cp stays far below 2^63), and the window minimum is pandas'
+    Cython rolling-min (monotonic deque, O(n)). No gram rows ever
+    materialize as Spark rows: the previous formulation (explode to
+    O(chars) rows + per-doc sort + window MIN + distinct exchange) spent
+    ~85% of its time sorting and shuffling 1.45M gram rows at sf0.1 —
+    both the naive rowsBetween(0,w-1) frame and an O(n) two-block
+    prefix/suffix decomposition measured ~4-5 s against ~0.7 s for the
+    gram+hash work itself, so the fix is removing the gram-row plan, not
+    the frame. Per-doc distinct makes (doc, fp) globally distinct with
+    no exchange. The independent DuckDB oracle keeps the pure-SQL
+    window-min formulation, so the kernel stays bit-exactness-checked.
 
-    # Repartition DOCS by doc id before exploding grams: the window-min
-    # below needs hash partitioning on doc_col either way, and moving
-    # the exchange above the explode shuffles O(docs) rows instead of
-    # O(total chars) gram rows — Catalyst then reuses the partitioning
-    # for the window (no second exchange; plan-asserted in tests). It
-    # also re-establishes parallelism when a small file arrives as one
-    # input split (measured: 6.0s single-core -> 0.9s on 32 for the
-    # sf0.1 gram+hash stage).
-    grams = (
+    The up-front repartition spreads docs across cores when a small
+    input arrives as one split and bounds any text-length skew; it is
+    the plan's only exchange, on O(docs) rows."""
+    import numpy as np
+    import pandas as pd
+
+    base, mod = 257, 2147483647
+    import re
+
+    ws_re = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only too
+    table = str.maketrans(_UPPER, _LOWER)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc: list = []
+            out_fp: list = []
+            for doc, txt in zip(pdf[doc_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = ws_re.sub(" ", txt).translate(table)
+                n = len(t) - k + 1
+                if n < 1:
+                    continue
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + cp[j : j + n]) % mod
+                if n < w:
+                    fps = h.min(keepdims=True)
+                else:
+                    # rolling-min output is float64; values < 2^31 are
+                    # exactly representable, so the cast back is lossless
+                    fps = (
+                        pd.Series(h)
+                        .rolling(w)
+                        .min()
+                        .to_numpy()[w - 1 :]
+                        .astype(np.int64)
+                    )
+                fps = np.unique(fps)
+                out_doc.extend([doc] * len(fps))
+                out_fp.append(fps)
+            yield pd.DataFrame(
+                {
+                    doc_col: out_doc,
+                    "fp": np.concatenate(out_fp)
+                    if out_fp
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    doc_type = docs.schema[doc_col].dataType.simpleString()
+    return (
         docs.repartition(F.col(doc_col))
-        .select(F.col(doc_col), t.alias("__t"))
-        .filter(F.length("__t") >= k)
-        .select(
-            doc_col,
-            F.expr(f"length(__t) - {k} + 1").alias("__ng"),
-            F.expr(f"explode(sequence(1, length(__t) - {k} + 1))").alias("__i"),
-            "__t",
-        )
-        .withColumn("__g", F.expr(f"substring(__t, cast(__i as int), {k})"))
-        .drop("__t")
-        .withColumn("__h", F.expr(h_sql).cast("long"))
+        .select(F.col(doc_col), F.col(text_col))
+        .mapInPandas(kernel, schema=f"{doc_col} {doc_type}, fp long")
     )
-    win = Window.partitionBy(doc_col).orderBy("__i").rowsBetween(0, w - 1)
-    sel = grams.withColumn("__fp", F.min("__h").over(win)).filter(
-        (F.col("__i") + (w - 1) <= F.col("__ng")) | ((F.col("__ng") < w) & (F.col("__i") == 1))
-    )
-    return sel.select(F.col(doc_col), F.col("__fp").alias("fp")).distinct()
 
 
 def winnow_near_dup_pairs(

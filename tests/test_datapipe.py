@@ -436,3 +436,44 @@ def test_cli_dedup_verify_stage(spark, tmp_path):
     originals = {i for i in ids if not i.startswith("dup-")}
     for i in sorted(originals):
         assert f"dup-{i}" not in ids
+
+
+def test_winnow_window_min_decomposition_bit_exact(spark):
+    """The O(n) two-block prefix/suffix window-min must reproduce the
+    naive per-window minimum bit-for-bit (fingerprints are exact longs,
+    min of the identical value set). Expected values computed here from
+    first principles with a pandas rolling min."""
+    import numpy as np
+    import pandas as pd
+
+    k, w, base, mod = 8, 16, 257, 2147483647
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog again " * 6,
+        "b": "short but >= w grams of text for one full window!!",
+        "tiny": "abcdefghij",           # < w grams: global min
+        "exact": "x" * (k + w - 1),     # exactly one full window
+    }
+
+    def naive(text):
+        t = " ".join(text.lower().split())
+        grams = [t[i:i + k] for i in range(len(t) - k + 1)]
+        hs = []
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * base + ord(ch)) % mod
+            hs.append(h)
+        if len(hs) < w:
+            return {min(hs)} if hs else set()
+        s = pd.Series(hs)
+        mins = s.rolling(w).min().dropna().astype(np.int64)
+        return set(mins.tolist())
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id string, text string"
+    )
+    got = {}
+    for r in text.winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, t in texts.items():
+        assert got.get(d, set()) == naive(t), d

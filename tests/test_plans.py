@@ -131,11 +131,13 @@ def test_ann_topk_partial_window_group_limit_before_exchange(spark):
     assert partial_no < exch_no, plan
 
 
-def test_winnow_fingerprints_single_exchange_no_python(spark):
-    """Rolling-hash winnowing stays entirely JVM-side (codegen'd
-    polynomial over the gram explode) with exactly one hash exchange
-    (the per-doc window); distinct pre-aggregates map-side so a second
-    full-width exchange never appears."""
+def test_winnow_fingerprints_single_exchange_arrow_kernel(spark):
+    """Winnowing plans as ONE exchange (the doc repartition for
+    parallelism/skew) feeding a single Arrow-batched mapInPandas kernel:
+    gram rows never materialize as Spark rows, so there is no Sort, no
+    Window, and no distinct aggregate in the plan at all. (The previous
+    all-JVM explode+window formulation spent ~85% of its time sorting
+    and shuffling O(chars) gram rows — see text.winnow_fingerprints.)"""
     from movingspark import text
 
     docs = spark.createDataFrame(
@@ -144,11 +146,9 @@ def test_winnow_fingerprints_single_exchange_no_python(spark):
         "doc_id string, text string",
     )
     plan = plan_of(text.winnow_fingerprints(docs, k=8, w=16))
-    assert _no_python_exec(plan)
-    assert "Window" in plan
-    # exactly ONE exchange: the distinct on (doc_id, fp) reuses the
-    # window's hash partitioning on doc_id (subset of the group keys
-    # satisfies ClusteredDistribution), so no second exchange appears
+    assert "MapInPandas" in plan
+    assert "Window" not in plan and "Sort" not in plan
+    assert "HashAggregate" not in plan  # per-doc unique, no distinct agg
     assert n_exchanges(plan) == 1
 
 
