@@ -567,6 +567,27 @@ FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
 """
 
 
+def q_tile_rollup_median(spark, sf_dir):
+    """Exact per-cell median via value-histogram composition
+    (joins.tile_rollup_median) — the skew-aware formulation of a
+    proportional-state aggregate: percentile() ships every group value
+    to one reducer, the histogram diffuses a hot cell through
+    (cell, value) keys. Interpolation follows percentile() semantics
+    (rank 0.5*(n-1), linear between straddling order stats); the oracle
+    is DuckDB's quantile_cont(0.5), same definition. Rounded to 6dp on
+    both sides (values carry 3 decimals; midpoints 4 — no 6dp ties)."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = joins.tile_rollup_median(pts, res=CELL_RES, bounds=CELL_BOUNDS, value_col="x")
+    return out.select("cell", (F.round(F.col("median_value"), 6) + 0.0).alias("median_value"))
+
+
+SQL_TILE_ROLLUP_MEDIAN = f"""
+SELECT {cells.cell_id_sql('x', 'y', CELL_RES, CELL_BOUNDS)} AS cell,
+       ROUND(quantile_cont(x, 0.5), 6) + 0.0 AS median_value
+FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
+"""
+
+
 def q_tile_rollup_salted(spark, sf_dir):
     pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
     return joins.tile_rollup(pts, res=CELL_RES, bounds=CELL_BOUNDS, n_salt=8).select(
@@ -1969,6 +1990,29 @@ def q_media_features(spark, sf_dir):
     return feats.select("doc_id", "offset", "media_ref", "n_bytes", "content_hash")
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode end-to-end: deterministic P6 PPM payloads
+    (media.synth_ppm_bytes — actual header + binary samples) -> pure
+    numpy decode_image header parse + pixel read -> integer-sum pixel
+    features (media.image_features). The oracle regenerates the pixel
+    bytes from the same closed form ((seed + 7j) % 256) with a range()
+    unnest and recomputes the identical fixed-order float expressions —
+    a wrong header parse, channel order, or dimension shows up as a
+    value mismatch."""
+    from movingspark import media
+
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    refs = media.media_refs_from_docs(docs).withColumn(
+        "__seed",
+        F.expr("(CAST(substring(media_ref, 16, 9) AS BIGINT) * 31 + offset * 7) % 256"),
+    )
+    feats = media.extract_image_features(media.synth_ppm_bytes(refs, "__seed", w=8, h=8))
+    return feats.select(
+        "doc_id", "offset", "media_ref", "img_w", "img_h",
+        *[f"f{i}" for i in range(8)],
+    )
+
+
 SQL_MEDIA_REFS = f"""
 WITH docs AS ({docs_oracle_sql(N_DOCS)}),
 sp AS (SELECT doc_id, UNNEST(spans) AS span FROM docs)
@@ -1986,6 +2030,42 @@ SELECT doc_id, "offset", media_ref,
        md5(sha256(media_ref)) AS content_hash
 FROM refs
 """
+
+# pixel byte j of an 8x8 P6 with seed s is (s + 7j) % 256 (j in 0..191,
+# channel = j % 3); features are the kernel's exact-int-sum expressions
+# in the same floating-point operation order (see media.image_features)
+SQL_MEDIA_DECODE = f"""
+WITH refs AS ({{refs}}),
+seeded AS (
+  SELECT doc_id, "offset", media_ref,
+         (CAST(substr(media_ref, 16, 9) AS BIGINT) * 31 + "offset" * 7) % 256 AS seed
+  FROM refs
+),
+px AS (
+  SELECT doc_id, "offset", media_ref,
+         (seed + 7 * j) % 256 AS v, j % 3 AS c
+  FROM seeded, range(0, 192) t(j)
+),
+st AS (
+  SELECT doc_id, "offset", media_ref,
+         SUM(v) FILTER (c = 0) AS s0, SUM(v * v) FILTER (c = 0) AS q0,
+         SUM(v) FILTER (c = 1) AS s1, SUM(v * v) FILTER (c = 1) AS q1,
+         SUM(v) FILTER (c = 2) AS s2, SUM(v * v) FILTER (c = 2) AS q2,
+         SUM(v) AS sa
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT doc_id, "offset", media_ref,
+       CAST(8 AS INTEGER) AS img_w, CAST(8 AS INTEGER) AS img_h,
+       (CAST(s0 AS DOUBLE) / 64) / 255.0 AS f0,
+       (CAST(s1 AS DOUBLE) / 64) / 255.0 AS f1,
+       (CAST(s2 AS DOUBLE) / 64) / 255.0 AS f2,
+       sqrt(greatest(CAST(q0 AS DOUBLE) / 64 - (CAST(s0 AS DOUBLE) / 64) * (CAST(s0 AS DOUBLE) / 64), 0.0)) / 255.0 AS f3,
+       sqrt(greatest(CAST(q1 AS DOUBLE) / 64 - (CAST(s1 AS DOUBLE) / 64) * (CAST(s1 AS DOUBLE) / 64), 0.0)) / 255.0 AS f4,
+       sqrt(greatest(CAST(q2 AS DOUBLE) / 64 - (CAST(s2 AS DOUBLE) / 64) * (CAST(s2 AS DOUBLE) / 64), 0.0)) / 255.0 AS f5,
+       (CAST(sa AS DOUBLE) / 192) / 255.0 AS f6,
+       CAST(1.0 AS DOUBLE) AS f7
+FROM st
+""".replace("{refs}", SQL_MEDIA_REFS)
 
 SQL_EMBEDDING_NEAR_DUPS = """
 WITH base AS (
@@ -2336,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "stop_points": q_stop_points,
         "generalize_dp": q_generalize_dp,
+        # -- new in r4 ----------------------------------------------------
+        "tile_rollup_median": q_tile_rollup_median,
+        "media_decode": q_media_decode,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2354,10 +2437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
         "gopher_rules": q_gopher_rules,
-        "contamination": q_contamination,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         # -- beyond the driver's 50-row window (driver-green in r03) -----
+        "contamination": q_contamination,
         "interpolate_position_at": q_interpolate_position_at,
         "segment_between": q_segment_between,
         "filter_by_first_value": q_filter_by_first_value,
@@ -2412,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup_values": SQL_TILE_ROLLUP_VALUES,
         "tile_rollup_values_salted": SQL_TILE_ROLLUP_VALUES,
         "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
+        "tile_rollup_median": SQL_TILE_ROLLUP_MEDIAN,
+        "media_decode": SQL_MEDIA_DECODE,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -163,6 +163,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("overlay_clip", lambda: force(E.q_overlay_clip(spark, sf_dir)))
     run("gopher_rules", lambda: force(E.q_gopher_rules(spark, sf_dir)))
     run("contamination", lambda: force(E.q_contamination(spark, sf_dir)))
+    run("tile_rollup_median", lambda: force(E.q_tile_rollup_median(spark, sf_dir)))
+    run("media_decode", lambda: force(E.q_media_decode(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]

@@ -303,3 +303,40 @@ def span_invariant_violations(docs: DataFrame) -> DataFrame:
         | (F.col("h") != F.col("h_rt"))
         | (F.col("h_n") != F.col("h_rt_n"))
     ).select("doc_id")
+
+
+def synth_skewed_points(
+    spark: SparkSession,
+    n_points: int,
+    hot_frac: float = 0.30,
+    hot_traj: bool = False,
+    n_trajs: int = 50_000,
+) -> DataFrame:
+    """Deterministic planted-skew point table for skew benchmarks: a
+    `hot_frac` share of rows lands inside ONE res-6 tile cell (a 0.5
+    degree patch at lon [10.0, 10.5), lat [45.0, 45.5) — cell width at
+    res 6 is 5.625 x 2.8125 degrees), the rest spread closed-form
+    uniform over the world. At hot_frac=0.3 the hot cell holds ~1000x
+    the mean occupied cell's rows. hot_traj additionally funnels every
+    hot row into a single mega-trajectory (the sort/window-skew case).
+    hot_frac=0.0 gives the uniform twin at identical row count and
+    schema. All JVM-side closed form — no Python, no randomness."""
+    r = spark.range(n_points).withColumnRenamed("id", "i")
+    i = F.col("i")
+    is_hot = (i % 100) < int(round(hot_frac * 100))
+    lon = F.when(is_hot, 10.0 + ((i * 31) % 500) / F.lit(1000.0)).otherwise(
+        -180.0 + ((i * 7919) % 360000) / F.lit(1000.0)
+    )
+    lat = F.when(is_hot, 45.0 + ((i * 37) % 500) / F.lit(1000.0)).otherwise(
+        -85.0 + ((i * 104729) % 170000) / F.lit(1000.0)
+    )
+    traj = F.format_string("t%07d", i % n_trajs)
+    if hot_traj:
+        traj = F.when(is_hot, F.lit("hot")).otherwise(traj)
+    return r.select(
+        traj.alias("traj_id"),
+        F.timestamp_seconds(F.lit(1500000000) + i).alias("t"),
+        lon.cast("double").alias("x"),
+        lat.cast("double").alias("y"),
+        (i % 1000).cast("double").alias("value"),
+    )

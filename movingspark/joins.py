@@ -401,6 +401,69 @@ def knn_join_pruned(
     return out.withColumnRenamed("__rk", "knn_rank")
 
 
+def tile_rollup_median(
+    df: DataFrame,
+    res: int,
+    value_col: str = "value",
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Exact per-cell median via value-histogram composition — the
+    skew-aware formulation of a proportional-state aggregate.
+
+    percentile()-style exact medians buffer EVERY group value in the
+    aggregation buffer, so partial aggregation ships the full value
+    multiset and a hot cell concentrates its entire row mass on one
+    reducer (the one rollup shape map-side combine does NOT protect;
+    counts/sums/count-distinct all pre-merge and are structurally
+    skew-immune — measured in tools/bench_skew.py). Composing through
+    the (cell, value) histogram instead diffuses the hot cell across
+    reducers: groupBy(cell, value).count() partial-merges map-side, the
+    per-cell cumulative walk then touches at most |distinct values|
+    rows per cell. Interpolation follows percentile() semantics exactly
+    (rank = 0.5*(n-1); linear between the two straddling order stats),
+    so the result matches percentile(value_col, 0.5) bit-for-bit when
+    values and counts are exactly representable."""
+    from pyspark.sql import Window
+
+    tagged = with_cell(df, res, bounds, cols, "cell")
+    hist = tagged.groupBy("cell", F.col(value_col).alias("__v")).agg(
+        F.count("*").alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy("cell")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_cell = Window.partitionBy("cell")
+    n = F.sum("__c").over(w_cell)
+    rank = (n - F.lit(1)).cast("double") * 0.5
+    lo = F.floor(rank)
+    hi = F.ceil(rank)
+    cum = F.sum("__c").over(w_cum)
+    staged = hist.select(
+        "cell",
+        "__v",
+        cum.alias("__cum"),
+        rank.alias("__rank"),
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    agg = staged.groupBy("cell").agg(
+        F.min(F.when(F.col("__cum") > F.col("__lo"), F.col("__v"))).alias("__vlo"),
+        F.min(F.when(F.col("__cum") > F.col("__hi"), F.col("__v"))).alias("__vhi"),
+        F.first("__rank").alias("__r"),
+        F.first("__lo").alias("__l"),
+    )
+    return agg.select(
+        "cell",
+        (
+            F.col("__vlo")
+            + (F.col("__vhi") - F.col("__vlo")) * (F.col("__r") - F.col("__l"))
+        ).alias("median_value"),
+    )
+
+
 def tile_rollup(
     df: DataFrame,
     res: int,

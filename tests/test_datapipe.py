@@ -477,3 +477,69 @@ def test_winnow_window_min_decomposition_bit_exact(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for d, t in texts.items():
         assert got.get(d, set()) == naive(t), d
+
+
+def test_decode_ppm_and_bmp_known_pixels():
+    """Pure-numpy image decoders against hand-built files: P6 binary,
+    P3 ascii (same pixels), and a 24-bit BMP with row padding and
+    bottom-up row order."""
+    import numpy as np
+    from movingspark import media
+
+    # 2x2 RGB: distinctive per-pixel values
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    p6 = b"P6\n2 2\n255\n" + px.tobytes()
+    assert (media.decode_ppm(p6) == px).all()
+    p3 = b"P3\n# comment\n2 2\n255\n" + " ".join(
+        str(v) for v in px.flatten()
+    ).encode()
+    assert (media.decode_ppm(p3) == px).all()
+    assert (media.decode_image(p6) == px).all()
+
+    # 3x2 BMP: stride pads 9-byte rows to 12; rows stored bottom-up, BGR
+    wpx = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    rows = b""
+    for r in range(1, -1, -1):  # bottom-up
+        row = wpx[r][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (12 - len(row))
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (3).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    assert (media.decode_bmp(header + rows) == wpx).all()
+    assert (media.decode_image(header + rows) == wpx).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        media.decode_image(b"\x89PNG not supported")
+
+
+def test_image_feature_pipeline_real_decode(spark):
+    """synth PPM payloads -> mapInPandas decode -> pixel features: the
+    distributed path reproduces a local decode of the same bytes."""
+    import numpy as np
+    from movingspark import media
+
+    df = spark.createDataFrame(
+        [("m1", 3), ("m2", 200)], "media_ref string, seed int"
+    )
+    out = media.extract_image_features(
+        media.synth_ppm_bytes(df, "seed", w=8, h=8)
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["img_w"] == 8 and r["img_h"] == 8
+        # local recompute from the same closed form
+        j = np.arange(8 * 8 * 3, dtype=np.int64)
+        seed = 3 if r["media_ref"] == "m1" else 200
+        buf = b"P6\n8 8\n255\n" + ((seed + 7 * j) % 256).astype(np.uint8).tobytes()
+        want = media.image_features(media.decode_image(buf))
+        got = [r[f"f{i}"] for i in range(8)]
+        assert got == want  # bit-exact: same kernel, same bytes

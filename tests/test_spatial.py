@@ -363,3 +363,42 @@ def test_clip_ranges_vec_matches_scalar_reference():
             for u, v in zip(ref, vec):
                 assert u[0] == v[0] and u[1] == v[1]
                 assert u[2] == tuple(v[2]) and u[3] == tuple(v[3])
+
+
+def test_tile_rollup_median_matches_percentile(spark):
+    """The histogram-composed exact median (skew-aware formulation)
+    reproduces percentile(0.5) on a planted-skew table where one cell
+    holds 30% of rows."""
+    from pyspark.sql import functions as F
+
+    from movingspark import ingest
+
+    pts = ingest.synth_skewed_points(spark, 50_000, hot_frac=0.3)
+    med = joins.tile_rollup_median(pts, res=4, value_col="value")
+    ref = joins.with_cell(pts, res=4).groupBy("cell").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    j = med.join(ref, "cell").collect()
+    assert len(j) > 100
+    assert all(abs(r["median_value"] - r["m"]) <= 1e-12 for r in j)
+
+
+def test_synth_skewed_points_hot_cell(spark):
+    """The planted-skew generator really concentrates hot_frac of rows
+    in ONE res-6 cell, and the uniform twin doesn't."""
+    from pyspark.sql import functions as F
+
+    from movingspark import cells, ingest
+
+    sk = ingest.synth_skewed_points(spark, 20_000, hot_frac=0.3)
+    top = (
+        sk.select(cells.cell_id_expr(F.col("x"), F.col("y"), 6).alias("cell"))
+        .groupBy("cell").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] >= 0.29 * 20_000
+    un = ingest.synth_skewed_points(spark, 20_000, hot_frac=0.0)
+    top_u = (
+        un.select(cells.cell_id_expr(F.col("x"), F.col("y"), 6).alias("cell"))
+        .groupBy("cell").count().orderBy(F.desc("count")).first()
+    )
+    assert top_u["count"] < 0.01 * 20_000
