@@ -190,53 +190,85 @@ def _vincenty_direct(lat1, lon1, alpha1, s):
     return lat2, lon1 + L
 
 
+_HALF_MERIDIAN = 20003931.458623  # 2x WGS84 quarter meridian
+
+
+def _antipodal_newton(p1lat, p1lon, p2lat, p2lon, alpha, s, iters=60):
+    """One 2-D Newton shoot on (azimuth, distance) with the direct
+    problem from the given seed. Returns (converged, s, landing_err_rad)
+    for the closest landing reached."""
+    best_err, best_s = float("inf"), s
+    for _ in range(iters):
+        glat, glon = _vincenty_direct(p1lat, p1lon, alpha, s)
+        e_lat = glat - p2lat
+        e_lon = math.remainder(glon - p2lon, 2.0 * math.pi)
+        err = math.hypot(e_lat, e_lon)
+        if err < best_err:
+            best_err, best_s = err, s
+        if abs(e_lat) < 1e-11 and abs(e_lon) < 1e-11:
+            return True, s, err
+        # finite-difference Jacobian of (lat2, lon2) wrt (alpha, s)
+        da, ds = 1e-7, 1.0
+        la_a, lo_a = _vincenty_direct(p1lat, p1lon, alpha + da, s)
+        la_s, lo_s = _vincenty_direct(p1lat, p1lon, alpha, s + ds)
+        j00 = (la_a - glat) / da
+        j01 = (la_s - glat) / ds
+        j10 = math.remainder(lo_a - glon, 2.0 * math.pi) / da
+        j11 = math.remainder(lo_s - glon, 2.0 * math.pi) / ds
+        det = j00 * j11 - j01 * j10
+        if det == 0.0 or not math.isfinite(det):
+            break
+        step_a = (j11 * e_lat - j01 * e_lon) / det
+        step_s = (-j10 * e_lat + j00 * e_lon) / det
+        # damp: antipodal Jacobians are ill-conditioned far from a root
+        step_a = max(-0.5, min(0.5, step_a))
+        step_s = max(-2e6, min(2e6, step_s))
+        alpha -= step_a
+        s -= step_s
+        if s <= 0.0:
+            s = 1000.0
+    return False, best_s, best_err
+
+
 def _geodesic_antipodal(lon1, lat1, lon2, lat2):
     """Distance for a nearly antipodal pair (degrees in, meters out):
     2-D Newton shooting on (azimuth, distance) with the direct problem,
     multi-seeded in azimuth (antipodal inverse problems have multiple
     geodesics; keep the shortest root that lands on the target). Landing
     tolerance 1e-11 rad (~0.1 mm), so the returned s inherits the direct
-    solver's accuracy — unlike the previous haversine fallback (up to
-    ~11 km off at exact antipodes)."""
+    solver's accuracy.
+
+    Every path is ellipsoidal: if the first 8 seeds all diverge, the
+    seeding densifies (64 azimuths x 3 distance scales), and the final
+    resort returns the best-landing candidate from the densest sweep —
+    distance error bounded by the landing miss, still orders of
+    magnitude tighter than the spherical approximation this used to
+    fall back to (haversine is up to ~11 km off near antipodes)."""
     p1lat, p1lon = math.radians(lat1), math.radians(lon1)
     p2lat, p2lon = math.radians(lat2), math.radians(lon2)
-    half_meridian = 20003931.458623  # 2x WGS84 quarter meridian
-    best = None
-    for k in range(8):
-        alpha = (k + 0.5) * math.pi / 4.0
-        s = half_meridian
-        ok = False
-        for _ in range(60):
-            glat, glon = _vincenty_direct(p1lat, p1lon, alpha, s)
-            e_lat = glat - p2lat
-            e_lon = math.remainder(glon - p2lon, 2.0 * math.pi)
-            if abs(e_lat) < 1e-11 and abs(e_lon) < 1e-11:
-                ok = True
-                break
-            # finite-difference Jacobian of (lat2, lon2) wrt (alpha, s)
-            da, ds = 1e-7, 1.0
-            la_a, lo_a = _vincenty_direct(p1lat, p1lon, alpha + da, s)
-            la_s, lo_s = _vincenty_direct(p1lat, p1lon, alpha, s + ds)
-            j00 = (la_a - glat) / da
-            j01 = (la_s - glat) / ds
-            j10 = math.remainder(lo_a - glon, 2.0 * math.pi) / da
-            j11 = math.remainder(lo_s - glon, 2.0 * math.pi) / ds
-            det = j00 * j11 - j01 * j10
-            if det == 0.0 or not math.isfinite(det):
-                break
-            step_a = (j11 * e_lat - j01 * e_lon) / det
-            step_s = (-j10 * e_lat + j00 * e_lon) / det
-            # damp: antipodal Jacobians are ill-conditioned far from a root
-            step_a = max(-0.5, min(0.5, step_a))
-            step_s = max(-2e6, min(2e6, step_s))
-            alpha -= step_a
-            s -= step_s
-            if s <= 0.0:
-                s = 1000.0
-        if ok and (best is None or s < best):
-            best = s
-    if best is None:  # pathological non-convergence: spherical bound
-        return float(haversine(lon1, lat1, lon2, lat2))
+
+    def sweep(n_alpha, s_scales, iters=60):
+        best, best_near, near_err = None, None, float("inf")
+        for k in range(n_alpha):
+            for sc in s_scales:
+                ok, s, err = _antipodal_newton(
+                    p1lat, p1lon, p2lat, p2lon,
+                    (k + 0.5) * math.pi / n_alpha * 2.0, _HALF_MERIDIAN * sc,
+                    iters,
+                )
+                if ok and (best is None or s < best):
+                    best = s
+                if not ok and err < near_err:
+                    near_err, best_near = err, s
+        return best, best_near, near_err
+
+    best, _, _ = sweep(8, (1.0,))
+    if best is None:
+        best, _, _ = sweep(64, (0.99, 1.0, 1.01))
+    if best is None:
+        best, near, err = sweep(512, (0.995, 1.0, 1.005), iters=80)
+        if best is None:
+            best = near  # landing miss err rad ~ err * R meters of s error
     return best
 
 

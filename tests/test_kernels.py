@@ -153,3 +153,36 @@ def test_geodesic_scalar_antipodal_fallback():
     # sanity: close to the half-meridian scale, way beyond haversine's
     # worst-case ~11 km error band around 2.0e7
     assert 1.99e7 < d < 2.01e7
+
+
+def test_geodesic_antipodal_no_spherical_fallback():
+    """Every antipodal path is ellipsoidal now. Anchors:
+    (1) exactly antipodal equatorial points travel over the pole: two
+        WGS84 meridian quarters (public constant 10001965.7293 m);
+    (2) the shooting solver cross-validates Vincenty just inside its
+        convergence region — two independent formulations agreeing;
+    (3) a near-antipodal grid returns finite, symmetric distances in
+        the physically admissible band."""
+    import math
+
+    from movingspark.kernels import _geodesic_antipodal
+
+    # (1) equatorial antipode == 2x meridian quarter
+    d = float(K.geodesic(0.0, 0.0, 180.0, 0.0))
+    assert abs(d - 2 * 10001965.7293127) < 1e-2
+
+    # (2) Vincenty (converges at dlon=179.2) vs shooting solver
+    for lat1, lat2 in [(0.0, 0.3), (20.0, -19.5), (-45.0, 44.8)]:
+        dv = float(K.geodesic(0.0, lat1, 179.2, lat2))
+        ds = _geodesic_antipodal(0.0, lat1, 179.2, lat2)
+        assert abs(dv - ds) < 1e-3, (lat1, lat2, dv, ds)
+
+    # (3) near-antipodal grid: finite, in-band, symmetric
+    for lat in range(-80, 81, 20):
+        for dlon in (179.7, 179.95, 180.0):
+            d1 = float(K.geodesic(10.0, lat, 10.0 + dlon, -lat + 0.05))
+            d2 = float(K.geodesic(10.0 + dlon, -lat + 0.05, 10.0, lat))
+            assert math.isfinite(d1) and 1.99e7 < d1 < 2.005e7, (lat, dlon, d1)
+            # Newton from swapped endpoints converges to the same root
+            # within its 1e-11 rad landing tolerance (~1e-7 m here)
+            assert abs(d1 - d2) < 1e-5, (lat, dlon, d1 - d2)
