@@ -1477,6 +1477,90 @@ FROM kept GROUP BY lang
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-aware chunking for training/embedding pipelines
+    (text.chunk_documents): whitespace tokens sliced into 32-token
+    windows with 8-token overlap (stride 24); full-coverage chunk count
+    ceil((n-overlap)/stride). Everything codegen (split + explode +
+    slice + concat_ws); the oracle reslices the same token lists with
+    DuckDB's 1-based inclusive list slicing."""
+    from movingspark.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+ok AS (SELECT * FROM toks WHERE len(w) > 0 AND w[1] <> ''),
+ks AS (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(UNNEST(range(0, GREATEST(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)))) AS INT) AS chunk_id
+  FROM ok
+)
+SELECT doc_id, chunk_id,
+       array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+       LEAST(32, n - chunk_id * 24) AS n_tokens
+FROM ks
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup (CCNet/RefinedWeb paragraph dedup):
+    the documents table carries no newlines, so the query first reshapes
+    each doc into deterministic 8-token lines (text.chunk_documents with
+    zero overlap) and then keeps only the FIRST occurrence of every
+    repeated normalized line corpus-wide — first = min (doc_id, line
+    index), a total order, so survivors are partitioning-invariant
+    (text.dedup_lines). Docs whose every line loses are absent."""
+    from movingspark.text import chunk_documents, dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    lines = chunk_documents(docs, max_tokens=8, overlap=0)
+    lined = lines.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("text")
+    )
+    return dedup_lines(lined)
+
+
+SQL_DEDUP_LINES = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+ok AS (SELECT * FROM toks WHERE len(w) > 0 AND w[1] <> ''),
+ks AS (
+  SELECT doc_id, w,
+         CAST(UNNEST(range(0, GREATEST(1, CAST(ceil(len(w) / 8.0) AS BIGINT)))) AS BIGINT) AS pos
+  FROM ok
+),
+lines AS (
+  SELECT doc_id, pos,
+         array_to_string(w[pos * 8 + 1 : pos * 8 + 8], ' ') AS line
+  FROM ks
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         md5(translate(regexp_replace(line, '\\s+', ' ', 'g'),
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS key
+  FROM lines
+),
+win AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM keyed
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+FROM win WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
     punctuation ratio, fingerprint (normalized md5)."""
@@ -2419,16 +2503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 ----------------------------------------------------
         "tile_rollup_median": q_tile_rollup_median,
         "media_decode": q_media_decode,
+        "dedup_lines": q_dedup_lines,
+        "chunk_documents": q_chunk_documents,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
         "derive_kinematics": q_derive_kinematics,
         "traj_summary": q_traj_summary,
-        "locations_at": q_locations_at,
         "split_gap": q_split_gap,
         "point_in_polygon": q_point_in_polygon,
         "knn": q_knn,
-        "flows": q_flows,
         "doc_spatial_join": q_doc_spatial_join,
         "doc_tiling": q_doc_tiling,
         "tile_rollup_salted": q_tile_rollup_salted,
@@ -2441,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # -- beyond the driver's 50-row window (driver-green in r03) -----
         "contamination": q_contamination,
+        "locations_at": q_locations_at,
+        "flows": q_flows,
         "interpolate_position_at": q_interpolate_position_at,
         "segment_between": q_segment_between,
         "filter_by_first_value": q_filter_by_first_value,
@@ -2497,6 +2583,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup_salted": SQL_TILE_ROLLUP,  # same result, salted plan
         "tile_rollup_median": SQL_TILE_ROLLUP_MEDIAN,
         "media_decode": SQL_MEDIA_DECODE,
+        "dedup_lines": SQL_DEDUP_LINES,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -673,3 +673,106 @@ def minhash_band_pairs(
     if chain is not None:
         pairs = pairs.unionByName(chain)
     return pairs.distinct()
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-wide exact line (paragraph) dedup, CCNet/RefinedWeb-style:
+    every non-blank line whose normalized hash occurs anywhere else in
+    the corpus keeps ONLY its first occurrence — first = smallest
+    (doc_id, line_index), a total order, so the survivor set is
+    deterministic across partitionings and engines. Blank/whitespace
+    lines are structural, carry no dedup signal, and are always kept.
+    Output: (id_col, keep_col) with surviving lines rejoined by \\n in
+    original order (docs whose text is null pass through as null).
+
+    Scale shape: posexplode lines -> ONE window over the line-hash key
+    (hash keys diffuse any hot document) -> groupBy(doc) reassembly that
+    reuses nothing wider than the doc key. Line text itself never
+    shuffles twice: the winner decision rides on (md5, doc, pos)."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    norm = F.md5(lower_ascii(F.regexp_replace(F.col("__line"), "\\s+", " ")))
+    blank = F.trim(F.col("__line")) == ""
+    keyed = lines.withColumn("__k", F.when(blank, F.lit(None)).otherwise(norm))
+    w = Window.partitionBy("__k")
+    winner = F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w)
+    kept = keyed.withColumn(
+        "__keep",
+        F.col("__k").isNull()
+        | ((winner[id_col] == F.col(id_col)) & (winner["__pos"] == F.col("__pos"))),
+    ).filter(F.col("__keep"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(keep_col)
+    )
+    # null-text docs produced one empty line from coalesce('') — restore null
+    nulls = docs.filter(F.col(text_col).isNull()).select(
+        F.col(id_col), F.lit(None).cast("string").alias(keep_col)
+    )
+    return rebuilt.join(
+        nulls.select(id_col), id_col, "left_anti"
+    ).unionByName(nulls)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-aware document chunking for training/embedding pipelines:
+    whitespace tokens sliced into windows of max_tokens with `overlap`
+    tokens shared between consecutive chunks (stride = max_tokens -
+    overlap). Chunk k covers token indices [k*stride, k*stride +
+    max_tokens); the chunk count ceil((n - overlap) / stride) (min 1)
+    guarantees full coverage with no chunk nested inside its
+    predecessor. Zero-token docs emit nothing. Output: (id_col,
+    chunk_id, chunk_text, n_tokens).
+
+    Everything is codegen: split once, explode(sequence) for chunk
+    ids, slice + concat_ws per chunk — no HOF lambda over captured
+    regex state (the interpreted-path pathology measured at 20-50x
+    elsewhere in this engine), no Python."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = docs.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__n", F.size("__t")
+    ).filter((F.col("__n") > 0) & (F.col("__t")[0] != ""))
+    k_max = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = base.select(
+        id_col,
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), k_max - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, max_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.least(
+            F.lit(max_tokens), F.col("__n") - F.col("chunk_id") * stride
+        ).alias("n_tokens"),
+    )

@@ -543,3 +543,55 @@ def test_image_feature_pipeline_real_decode(spark):
         want = media.image_features(media.decode_image(buf))
         got = [r[f"f{i}"] for i in range(8)]
         assert got == want  # bit-exact: same kernel, same bytes
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    """Corpus-wide line dedup: repeated normalized lines keep only the
+    min-(doc_id, pos) occurrence; blank lines always survive; null-text
+    docs pass through as null; survivors are partitioning-invariant."""
+    from movingspark.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique a line\nShared   Boilerplate\nlast a"),
+            ("b", "shared boilerplate\nb only\n\nb tail"),
+            ("c", None),
+        ],
+        "doc_id string, text string",
+    )
+    for parts in (1, 5):
+        out = {
+            r["doc_id"]: r["text_deduped"]
+            for r in dedup_lines(docs.repartition(parts)).collect()
+        }
+        assert out["a"] == "unique a line\nShared   Boilerplate\nlast a"
+        # b's 'shared boilerplate' normalizes equal to a's line -> dropped
+        assert out["b"] == "b only\n\nb tail"
+        assert out["c"] is None
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunk windows cover every token, consecutive chunks share exactly
+    `overlap` tokens, and no chunk is nested in its predecessor."""
+    from movingspark.text import chunk_documents
+
+    n = 100
+    docs = spark.createDataFrame(
+        [("d", " ".join(f"t{i}" for i in range(n)))], "doc_id string, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, max_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    toks = [t for r in rows for t in r["chunk_text"].split(" ")]
+    assert set(toks) == {f"t{i}" for i in range(n)}  # full coverage
+    for prev, cur in zip(rows, rows[1:]):
+        p = prev["chunk_text"].split(" ")
+        c = cur["chunk_text"].split(" ")
+        assert p[-8:] == c[:8]  # exact overlap
+        assert c[-1] != p[-1]   # no nesting
+    assert rows[-1]["n_tokens"] == len(rows[-1]["chunk_text"].split(" "))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
