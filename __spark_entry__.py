@@ -1561,6 +1561,50 @@ FROM win WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_redact_spans(spark, sf_dir):
+    """Span-preserving PII redaction over interleaved documents
+    (text.redact_pii_spans): text spans rewritten in place (the synth
+    payloads carry 10-digit unix timestamps, so the <DIGITS> rule
+    genuinely fires on every text span), media spans and the whole
+    (kind, media_ref, offset) sequence untouched — the north-rule
+    span-sequence invariant holds by construction. Output is the
+    exploded span table so the driver hash checks every rewritten
+    value and every preserved position."""
+    from movingspark.text import redact_pii_spans
+
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    red = redact_pii_spans(docs)
+    sp = red.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    return sp.select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+SQL_REDACT_SPANS = f"""
+WITH docs AS ({{docs}}),
+sp AS (
+  SELECT doc_id, UNNEST(spans) AS span,
+         generate_subscripts(spans, 1) - 1 AS pos
+  FROM docs
+)
+SELECT doc_id, pos, span.kind AS kind,
+       CASE WHEN span.kind = 'text' THEN
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(span.text, '[\\w.+-]+@[\\w-]+\\.[\\w.]+', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+           '\\d{{9,}}', '<DIGITS>', 'g')
+       ELSE span.text END AS text,
+       span.media_ref AS media_ref, span."offset" AS "offset"
+FROM sp
+""".replace("{docs}", docs_oracle_sql(N_DOCS))
+
+
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
     punctuation ratio, fingerprint (normalized md5)."""
@@ -2505,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "dedup_lines": q_dedup_lines,
         "chunk_documents": q_chunk_documents,
+        "redact_spans": q_redact_spans,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2512,7 +2557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_summary": q_traj_summary,
         "split_gap": q_split_gap,
         "point_in_polygon": q_point_in_polygon,
-        "knn": q_knn,
         "doc_spatial_join": q_doc_spatial_join,
         "doc_tiling": q_doc_tiling,
         "tile_rollup_salted": q_tile_rollup_salted,
@@ -2527,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "locations_at": q_locations_at,
         "flows": q_flows,
+        "knn": q_knn,
         "interpolate_position_at": q_interpolate_position_at,
         "segment_between": q_segment_between,
         "filter_by_first_value": q_filter_by_first_value,
@@ -2585,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "dedup_lines": SQL_DEDUP_LINES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "redact_spans": SQL_REDACT_SPANS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -776,3 +776,40 @@ def chunk_documents(
             F.lit(max_tokens), F.col("__n") - F.col("chunk_id") * stride
         ).alias("n_tokens"),
     )
+
+
+def redact_pii_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """PII redaction INSIDE the text spans of interleaved documents,
+    preserving the span sequence exactly: kind, media_ref, and offset
+    are untouched, media spans pass through, and text spans are
+    rewritten in place (emails -> <EMAIL>, URLs -> <URL>, 9+-digit runs
+    -> <DIGITS> — the same patterns pii_counts_expr counts). Because the
+    array structure is never reordered or filtered, the north-rule
+    span-sequence invariant holds by construction; a test asserts
+    span_invariant_violations() stays empty on the output.
+
+    Execution note: the nested transform() is a higher-order function
+    (interpreted expression path). That is the right trade here — a
+    redaction pass runs once per corpus over documents, not per point in
+    a hot loop, and keeping the rewrite inside the array avoids an
+    explode + full reassembly shuffle at 100 TB."""
+
+    def red(c: Column) -> Column:
+        c = F.regexp_replace(c, r"[\w.+-]+@[\w-]+\.[\w.]+", "<EMAIL>")
+        c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+        return F.regexp_replace(c, r"\d{9,}", "<DIGITS>")
+
+    return docs.withColumn(
+        spans_col,
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", red(s["text"]))
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )

@@ -595,3 +595,48 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_redact_pii_spans_rewrites_text_preserves_sequence(spark):
+    """redact_pii_spans: emails/URLs/long digit runs in TEXT spans are
+    replaced in place; media spans, kind, media_ref, offset, and span
+    ORDER are byte-identical; the north-rule span-sequence invariant
+    (explode->reassemble digest) holds on the redacted table."""
+    from movingspark.ingest import span_invariant_violations
+    from movingspark.text import redact_pii_spans
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d0",
+                [
+                    ("text", "mail me at a.b+c@ex-ample.co.uk now", None, 0),
+                    ("media", None, "mem://media/d0/1.bin", 1),
+                    ("text", "see https://x.io/p?q=1 and card 1234567890123", None, 2),
+                    ("text", "short 12345678 stays", None, 3),
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    out = redact_pii_spans(docs).collect()[0]["spans"]
+    assert [s["kind"] for s in out] == ["text", "media", "text", "text"]
+    assert [s["offset"] for s in out] == [0, 1, 2, 3]
+    assert out[0]["text"] == "mail me at <EMAIL> now"
+    assert out[1]["text"] is None and out[1]["media_ref"] == "mem://media/d0/1.bin"
+    assert out[2]["text"] == "see <URL> and card <DIGITS>"
+    assert out[3]["text"] == "short 12345678 stays"  # < 9 digits untouched
+
+    red = redact_pii_spans(ingest_docs(spark))
+    assert span_invariant_violations(red).count() == 0
+    # every synthetic text payload carries a 10-digit unix time -> redacted
+    leftover = red.selectExpr(
+        "size(filter(spans, s -> s.kind = 'text' AND s.text NOT LIKE '%<DIGITS>%')) AS n"
+    ).agg({"n": "sum"}).collect()[0][0]
+    assert leftover == 0
+
+
+def ingest_docs(spark):
+    from movingspark.ingest import synth_interleaved_docs
+
+    return synth_interleaved_docs(spark, 200)
