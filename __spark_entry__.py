@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins
+from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins, raster
 from movingspark import io as mio, overlay, queries as q, smooth, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
 from movingspark.pinned_params import (
@@ -586,6 +586,96 @@ SELECT {cells.cell_id_sql('x', 'y', CELL_RES, CELL_BOUNDS)} AS cell,
        ROUND(quantile_cont(x, 0.5), 6) + 0.0 AS median_value
 FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1
 """
+
+
+def q_tile_vectorize(spark, sf_dir):
+    """Raster -> vector export: every occupied tile cell becomes a
+    vector feature (cell id, WKT POLYGON of the cell rectangle, counts).
+    The inverse direction of tile_rollup — together they close the north
+    rule's raster<->vector loop. Pure codegen after the map-side rollup;
+    the WKT is a format_string, not a geometry library."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return raster.vectorize_tiles(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _tile_vectorize_sql() -> str:
+    minx, miny, maxx, maxy = CELL_BOUNDS
+    n = 1 << CELL_RES
+    cw, ch = (maxx - minx) / n, (maxy - miny) / n
+    sx, sy = cells.cell_ixiy_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH ras AS (
+  SELECT {sx} AS ix, {sy} AS iy,
+         COUNT(*) AS n_points, COUNT(DISTINCT traj_id) AS n_trajs
+  FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1, 2
+),
+rect AS (
+  SELECT *, {minx} + ix * {cw} AS x0, {miny} + iy * {ch} AS y0,
+            {minx} + (ix + 1) * {cw} AS x1, {miny} + (iy + 1) * {ch} AS y1
+  FROM ras
+)
+SELECT {cells.interleave_sql('ix', 'iy', CELL_RES)} AS cell,
+       printf('POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))',
+              x0, y0, x1, y0, x1, y1, x0, y1, x0, y0) AS wkt,
+       n_points, n_trajs
+FROM rect
+"""
+
+
+SQL_TILE_VECTORIZE = _tile_vectorize_sql()
+
+MIN_REGION_POINTS = 5
+
+
+def q_raster_regions(spark, sf_dir):
+    """Raster -> vector REGIONIZATION: cells holding >= 5 points are
+    dissolved with 4-adjacent neighbors into connected regions (raster
+    analogue of GDAL polygonize), labeled by distributed
+    large-star/small-star connected components — the same engine that
+    clusters near-dup pairs. Point table is touched exactly once (the
+    rollup); adjacency join + CC run on raster-sized data (<= 4^res
+    rows), so the vectorization cost is scale-invariant."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return raster.raster_regions(
+        pts, res=CELL_RES, min_points=MIN_REGION_POINTS, bounds=CELL_BOUNDS
+    )
+
+
+def _raster_regions_sql() -> str:
+    minx, miny, maxx, maxy = CELL_BOUNDS
+    n = 1 << CELL_RES
+    cw, ch = (maxx - minx) / n, (maxy - miny) / n
+    sx, sy = cells.cell_ixiy_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH RECURSIVE ras AS (
+  SELECT ix, iy, {cells.interleave_sql('ix', 'iy', CELL_RES)} AS cell, n_points
+  FROM (
+    SELECT {sx} AS ix, {sy} AS iy, COUNT(*) AS n_points
+    FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_REGION_POINTS}
+  )
+),
+edges AS (
+  SELECT a.cell AS u, b.cell AS v FROM ras a JOIN ras b
+    ON (b.ix = a.ix + 1 AND b.iy = a.iy) OR (b.ix = a.ix AND b.iy = a.iy + 1)
+),
+und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach AS (
+  SELECT u AS node, u AS r FROM und
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN und e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT COALESCE(c.component, ras.cell) AS region_id,
+       COUNT(*) AS n_cells, CAST(SUM(ras.n_points) AS BIGINT) AS n_points,
+       {minx} + MIN(ix) * {cw} AS x_min, {miny} + MIN(iy) * {ch} AS y_min,
+       {minx} + (MAX(ix) + 1) * {cw} AS x_max, {miny} + (MAX(iy) + 1) * {ch} AS y_max
+FROM ras LEFT JOIN comp c ON c.node = ras.cell
+GROUP BY 1
+"""
+
+
+SQL_RASTER_REGIONS = _raster_regions_sql()
 
 
 def q_tile_rollup_salted(spark, sf_dir):
@@ -2550,6 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "chunk_documents": q_chunk_documents,
         "redact_spans": q_redact_spans,
+        "tile_vectorize": q_tile_vectorize,
+        "raster_regions": q_raster_regions,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2631,6 +2723,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": SQL_DEDUP_LINES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "redact_spans": SQL_REDACT_SPANS,
+        "tile_vectorize": SQL_TILE_VECTORIZE,
+        "raster_regions": SQL_RASTER_REGIONS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

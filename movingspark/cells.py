@@ -61,6 +61,40 @@ def cell_ixiy_expr(x: Column, y: Column, res: int, bounds=WORLD):
     return ix.cast("long"), iy.cast("long")
 
 
+def interleave_expr(ix: Column, iy: Column, res: int) -> Column:
+    """Morton interleave of integer grid coords as a Spark expression
+    (bit k of ix -> 2k+1, of iy -> 2k; lock-step with
+    _interleave_bits_np and interleave_sql)."""
+    out = F.lit(0).cast("long")
+    for k in range(res):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(ix, k) % 2, 2 * k + 1)
+            + F.shiftleft(F.shiftright(iy, k) % 2, 2 * k)
+        )
+    return out
+
+
+def interleave_sql(ix: str, iy: str, res: int) -> str:
+    """Morton interleave of integer grid-coord SQL expressions (DuckDB
+    oracle twin of interleave_expr)."""
+    terms = []
+    for k in range(res):
+        terms.append(f"((({ix}) >> {k}) % 2) * {1 << (2 * k + 1)}")
+        terms.append(f"((({iy}) >> {k}) % 2) * {1 << (2 * k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cell_ixiy_sql(x: str, y: str, res: int, bounds=WORLD) -> tuple[str, str]:
+    """(ix, iy) grid coords as ANSI SQL strings (DuckDB oracle twin of
+    cell_ixiy_expr)."""
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+    ix = f"LEAST(GREATEST(CAST(FLOOR(({x} - ({minx})) / {maxx - minx} * {n}) AS BIGINT), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR(({y} - ({miny})) / {maxy - miny} * {n}) AS BIGINT), 0), {n - 1})"
+    return ix, iy
+
+
 def cell_id_expr(x: Column, y: Column, res: int, bounds=WORLD) -> Column:
     """Z-order cell id as a pure Spark SQL expression (no UDF).
 
@@ -76,30 +110,16 @@ def cell_id_expr(x: Column, y: Column, res: int, bounds=WORLD) -> Column:
     every valid cover cell (cover ids are >= 0), so joins/rollups treat
     malformed rows as no-match either way."""
     ix, iy = cell_ixiy_expr(x, y, res, bounds)
-    out = F.lit(0).cast("long")
-    for k in range(res):
-        out = (
-            out
-            + F.shiftleft(F.shiftright(ix, k) % 2, 2 * k + 1)
-            + F.shiftleft(F.shiftright(iy, k) % 2, 2 * k)
-        )
-    return F.coalesce(out, F.lit(-1).cast("long"))
+    return F.coalesce(interleave_expr(ix, iy, res), F.lit(-1).cast("long"))
 
 
 def cell_id_sql(x: str, y: str, res: int, bounds=WORLD) -> str:
     """Same cell id as ANSI SQL (DuckDB oracle). Kept in lock-step with
     cell_id_expr — both are pure integer arithmetic."""
-    minx, miny, maxx, maxy = bounds
-    n = 1 << res
-    ix = f"LEAST(GREATEST(CAST(FLOOR(({x} - ({minx})) / {maxx - minx} * {n}) AS BIGINT), 0), {n - 1})"
-    iy = f"LEAST(GREATEST(CAST(FLOOR(({y} - ({miny})) / {maxy - miny} * {n}) AS BIGINT), 0), {n - 1})"
-    terms = []
-    for k in range(res):
-        terms.append(f"((({ix}) >> {k}) % 2) * {1 << (2 * k + 1)}")
-        terms.append(f"((({iy}) >> {k}) % 2) * {1 << (2 * k)}")
+    ix, iy = cell_ixiy_sql(x, y, res, bounds)
     # COALESCE(-1) mirrors cell_id_expr's null->-1 sentinel so engine and
     # oracle stay in lock-step on null coordinates.
-    return "COALESCE(" + " + ".join(terms) + ", -1)"
+    return f"COALESCE({interleave_sql(ix, iy, res)}, -1)"
 
 
 def parent_cell_expr(cell: Column, levels: int = 1) -> Column:

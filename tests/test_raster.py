@@ -1,0 +1,80 @@
+"""Raster -> vector conversion (movingspark/raster.py): planted-grid
+ground truth for vectorize_tiles and raster_regions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from movingspark import raster
+
+BOUNDS = (0.0, 0.0, 16.0, 16.0)
+RES = 4  # 16x16 grid, 1x1 cells: data coords == grid coords
+
+
+def _pts(spark, cells_with_counts):
+    """cells_with_counts: {(ix, iy): n} -> point table with n points in
+    the middle of each cell, each its own trajectory."""
+    rows = []
+    for (ix, iy), n in cells_with_counts.items():
+        for k in range(n):
+            rows.append((f"t{ix}_{iy}_{k}", k, ix + 0.5, iy + 0.5))
+    return spark.createDataFrame(rows, "traj_id string, t long, x double, y double")
+
+
+def test_vectorize_tiles_wkt_and_counts(spark):
+    pts = _pts(spark, {(0, 0): 3, (5, 7): 1})
+    out = {r["cell"]: r for r in raster.vectorize_tiles(pts, RES, BOUNDS).collect()}
+    assert len(out) == 2
+    c00 = out[0]
+    assert c00["n_points"] == 3 and c00["n_trajs"] == 3
+    assert c00["wkt"] == (
+        "POLYGON ((0.000000 0.000000, 1.000000 0.000000, "
+        "1.000000 1.000000, 0.000000 1.000000, 0.000000 0.000000))"
+    )
+    c57 = next(r for c, r in out.items() if c != 0)
+    assert "5.000000 7.000000" in c57["wkt"] and "6.000000 8.000000" in c57["wkt"]
+
+
+def test_raster_regions_two_blobs_and_threshold(spark):
+    # blob A: L-shaped tromino at (0,0),(1,0),(1,1) — one region.
+    # blob B: diagonal pair (5,5),(6,6) — NOT 4-adjacent, two regions.
+    # (9,9) has 1 point: killed by min_points=2.
+    pts = _pts(
+        spark,
+        {(0, 0): 2, (1, 0): 3, (1, 1): 2, (5, 5): 2, (6, 6): 4, (9, 9): 1},
+    )
+    rows = sorted(
+        raster.raster_regions(pts, RES, 2, BOUNDS).collect(),
+        key=lambda r: r["region_id"],
+    )
+    assert len(rows) == 3
+    blob_a = rows[0]
+    assert blob_a["region_id"] == 0  # min morton id of the tromino
+    assert blob_a["n_cells"] == 3 and blob_a["n_points"] == 7
+    assert (blob_a["x_min"], blob_a["y_min"], blob_a["x_max"], blob_a["y_max"]) == (
+        0.0, 0.0, 2.0, 2.0
+    )
+    # the diagonal cells stay separate singleton regions
+    singles = rows[1:]
+    assert all(r["n_cells"] == 1 for r in singles)
+    assert {r["n_points"] for r in singles} == {2, 4}
+    assert {(r["x_min"], r["y_min"]) for r in singles} == {(5.0, 5.0), (6.0, 6.0)}
+
+
+def test_raster_regions_wraps_nothing_across_grid_edges(spark):
+    # (15, 3) and (0, 4): ix+1 would wrap to 16 (clipped domain edge) —
+    # they must NOT merge; adjacency is grid arithmetic, not modular.
+    pts = _pts(spark, {(15, 3): 2, (0, 4): 2})
+    rows = raster.raster_regions(pts, RES, 2, BOUNDS).collect()
+    assert len(rows) == 2
+
+
+def test_raster_regions_empty_when_all_below_threshold(spark):
+    pts = _pts(spark, {(2, 2): 1, (3, 3): 1})
+    assert raster.raster_regions(pts, RES, 2, BOUNDS).count() == 0
+
+
+def test_rasterize_value_sum(spark):
+    pts = _pts(spark, {(4, 4): 2}).withColumn("v", F.col("x") + F.col("y"))
+    r = raster.rasterize(pts, RES, BOUNDS, value_col="v").collect()[0]
+    assert r["sum_value"] == pytest.approx(2 * (4.5 + 4.5))
+    assert (r["ix"], r["iy"]) == (4, 4)
