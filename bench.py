@@ -165,6 +165,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("contamination", lambda: force(E.q_contamination(spark, sf_dir)))
     run("tile_rollup_median", lambda: force(E.q_tile_rollup_median(spark, sf_dir)))
     run("media_decode", lambda: force(E.q_media_decode(spark, sf_dir)))
+    run("raster_regions", lambda: force(E.q_raster_regions(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]

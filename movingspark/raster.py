@@ -98,12 +98,62 @@ def vectorize_tiles(
     return ras.select("cell", wkt.alias("wkt"), *keep)
 
 
+def _regions_local(spark, ras: DataFrame, res: int, bounds) -> DataFrame:
+    """Driver-side union-find dissolve of a (small) thresholded raster;
+    output schema identical to the distributed path."""
+    rows = ras.select("ix", "iy", "cell", "n_points").collect()
+    idx = {(r["ix"], r["iy"]): k for k, r in enumerate(rows)}
+    parent = list(range(len(rows)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for k, r in enumerate(rows):
+        for nb in ((r["ix"] + 1, r["iy"]), (r["ix"], r["iy"] + 1)):
+            j = idx.get(nb)
+            if j is not None:
+                ra, rb = find(k), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+    agg: dict[int, list] = {}
+    for k, r in enumerate(rows):
+        root = find(k)
+        a = agg.setdefault(root, [r["cell"], 0, 0, r["ix"], r["iy"], r["ix"], r["iy"]])
+        a[0] = min(a[0], r["cell"])
+        a[1] += 1
+        a[2] += r["n_points"]
+        a[3] = min(a[3], r["ix"])
+        a[4] = min(a[4], r["iy"])
+        a[5] = max(a[5], r["ix"])
+        a[6] = max(a[6], r["iy"])
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+    cw, ch = (maxx - minx) / n, (maxy - miny) / n
+    out = [
+        (
+            int(a[0]), int(a[1]), int(a[2]),
+            float(minx) + a[3] * cw, float(miny) + a[4] * ch,
+            float(minx) + (a[5] + 1) * cw, float(miny) + (a[6] + 1) * ch,
+        )
+        for a in agg.values()
+    ]
+    return spark.createDataFrame(
+        out,
+        "region_id long, n_cells long, n_points long, "
+        "x_min double, y_min double, x_max double, y_max double",
+    )
+
+
 def raster_regions(
     df: DataFrame,
     res: int,
     min_points: int,
     bounds=cells.WORLD,
     cols: PointCols = TRAJ_COLS,
+    max_local_cells: int = 200_000,
 ) -> DataFrame:
     """Raster -> vector regionization: cells with >= `min_points` points
     are dissolved with their 4-adjacent neighbors into connected
@@ -120,13 +170,25 @@ def raster_regions(
     cell meets each of its east/north neighbors exactly once — then
     labeled by `components.connected_components`. Isolated cells (no
     surviving neighbor) never appear in the edge list and fall back to
-    their own cell id as region label."""
+    their own cell id as region label.
+
+    Two-level execution (the same guard pattern as
+    `aggregate.cluster_significant_points`): the thresholded raster is
+    bounded by 4^res rows regardless of input size, so up to
+    `max_local_cells` the dissolve runs as a driver-side union-find on
+    the collected raster (one collect of <= max_local_cells small rows —
+    microseconds of CPU vs ~10 shuffle rounds of iterative CC); above
+    the guard it falls back to the fully distributed
+    large-star/small-star path. Both paths are exact and
+    insertion-order-free; tests pin their equality."""
     ras = rasterize(df, res, bounds, None, cols).filter(
         F.col("n_points") >= F.lit(int(min_points))
     )
     # the raster is tiny relative to the points and reused three times
     # (two adjacency probes + the label join): cache it.
     ras = ras.persist()
+    if ras.count() <= max_local_cells:
+        return _regions_local(df.sparkSession, ras, res, bounds)
     a = ras.select("ix", "iy", "cell")
 
     def adj(dx: int, dy: int) -> DataFrame:

@@ -34,7 +34,8 @@ def test_vectorize_tiles_wkt_and_counts(spark):
     assert "5.000000 7.000000" in c57["wkt"] and "6.000000 8.000000" in c57["wkt"]
 
 
-def test_raster_regions_two_blobs_and_threshold(spark):
+@pytest.mark.parametrize("max_local", [200_000, 0])  # union-find / distributed CC
+def test_raster_regions_two_blobs_and_threshold(spark, max_local):
     # blob A: L-shaped tromino at (0,0),(1,0),(1,1) — one region.
     # blob B: diagonal pair (5,5),(6,6) — NOT 4-adjacent, two regions.
     # (9,9) has 1 point: killed by min_points=2.
@@ -43,7 +44,7 @@ def test_raster_regions_two_blobs_and_threshold(spark):
         {(0, 0): 2, (1, 0): 3, (1, 1): 2, (5, 5): 2, (6, 6): 4, (9, 9): 1},
     )
     rows = sorted(
-        raster.raster_regions(pts, RES, 2, BOUNDS).collect(),
+        raster.raster_regions(pts, RES, 2, BOUNDS, max_local_cells=max_local).collect(),
         key=lambda r: r["region_id"],
     )
     assert len(rows) == 3
@@ -78,3 +79,18 @@ def test_rasterize_value_sum(spark):
     r = raster.rasterize(pts, RES, BOUNDS, value_col="v").collect()[0]
     assert r["sum_value"] == pytest.approx(2 * (4.5 + 4.5))
     assert (r["ix"], r["iy"]) == (4, 4)
+
+
+def test_raster_regions_local_and_distributed_paths_identical(spark):
+    # spiral-ish scatter with several multi-cell blobs
+    cells_counts = {}
+    for k in range(40):
+        ix, iy = (k * 3) % 13, (k * 5) % 11
+        cells_counts[(ix, iy)] = 2 + k % 4
+        cells_counts[(ix + 1, iy)] = 2
+    pts = _pts(spark, cells_counts)
+    a = sorted(map(tuple, raster.raster_regions(pts, RES, 2, BOUNDS).collect()))
+    b = sorted(
+        map(tuple, raster.raster_regions(pts, RES, 2, BOUNDS, max_local_cells=0).collect())
+    )
+    assert a == b
