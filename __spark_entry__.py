@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins, raster
+from movingspark import resample as resample_mod
 from movingspark import io as mio, overlay, queries as q, smooth, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
 from movingspark.pinned_params import (
@@ -676,6 +677,79 @@ GROUP BY 1
 
 
 SQL_RASTER_REGIONS = _raster_regions_sql()
+
+RESAMPLE_INTERVAL_S = 6 * 3600  # events average one obs per ~10.5 h
+
+
+def q_resample(spark, sf_dir):
+    """Fixed-interval resampling: every trajectory rebuilt on a regular
+    6 h grid anchored at its first observation, positions time-lerped
+    between bracketing observations (interpolate_position_at vectorized
+    over every grid tick; reference trajectory.py:832-916). Plan: one
+    window + a sequence() explode, zero Python, one exchange."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = resample_mod.resample_trajectories(pts, float(RESAMPLE_INTERVAL_S))
+    # FLOOR(x*1e5+0.5)/1e5 instead of _round2: the lerp raws here are
+    # bit-identical across engines (same IEEE op sequence), but ROUND
+    # semantics diverge when the 9dp snap lands exactly on a 5dp tie
+    # (Spark BigDecimal shortest-repr HALF_UP vs DuckDB binary-value
+    # rounding) — observed once in ~17k rows at sf0.01. floor/mul/add
+    # are correctly-rounded IEEE ops on both engines, so given equal
+    # raws the result is equal by construction.
+    for c in ("x", "y"):
+        out = out.withColumn(
+            c, F.floor(F.col(c) * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+        )
+    return out
+
+
+def _resample_sql() -> str:
+    i_us = RESAMPLE_INTERVAL_S * 1_000_000
+    return f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+seg AS (
+  SELECT traj_id, epoch_us(t) AS tu, x, y,
+         LEAD(epoch_us(t)) OVER w AS tu1,
+         LEAD(x) OVER w AS x1, LEAD(y) OVER w AS y1,
+         MIN(epoch_us(t)) OVER (PARTITION BY traj_id) AS t0,
+         MAX(epoch_us(t)) OVER (PARTITION BY traj_id) AS tmax
+  FROM pts WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+ks AS (
+  SELECT *,
+    (tu - t0 + {i_us - 1}) // {i_us} AS k_lo,
+    CASE
+      WHEN tu1 IS NULL THEN (CASE WHEN tu = t0 THEN 0 ELSE -1 END)
+      WHEN tu1 = tmax THEN (tu1 - t0) // {i_us}
+      ELSE (tu1 - t0 + {i_us - 1}) // {i_us} - 1
+    END AS k_hi
+  FROM seg
+),
+ticks AS (
+  SELECT traj_id, tu, x, y, tu1, x1, y1, t0,
+         UNNEST(generate_series(k_lo, k_hi)) AS k
+  FROM ks WHERE k_hi >= k_lo
+),
+lerp AS (
+  SELECT traj_id,
+         make_timestamp(t0 + k * {i_us}) AS t,
+         x + (x1 - x) * frac AS xr, y + (y1 - y) * frac AS yr, x AS x0, y AS y0
+  FROM (
+    SELECT *,
+      CASE WHEN tu1 IS NULL OR tu1 = tu THEN 0.0
+           ELSE CAST(t0 + k * {i_us} - tu AS DOUBLE) / CAST(tu1 - tu AS DOUBLE)
+      END AS frac
+    FROM ticks
+  )
+)
+SELECT traj_id, t,
+       FLOOR(COALESCE(xr, x0) * 100000.0 + 0.5) / 100000.0 AS x,
+       FLOOR(COALESCE(yr, y0) * 100000.0 + 0.5) / 100000.0 AS y
+FROM lerp
+"""
+
+
+SQL_RESAMPLE = _resample_sql()
 
 
 def q_tile_rollup_salted(spark, sf_dir):
@@ -2642,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_spans": q_redact_spans,
         "tile_vectorize": q_tile_vectorize,
         "raster_regions": q_raster_regions,
+        "resample": q_resample,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2725,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_spans": SQL_REDACT_SPANS,
         "tile_vectorize": SQL_TILE_VECTORIZE,
         "raster_regions": SQL_RASTER_REGIONS,
+        "resample": SQL_RESAMPLE,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
