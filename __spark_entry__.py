@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins, raster
+from movingspark import asof
 from movingspark import resample as resample_mod
 from movingspark import io as mio, overlay, queries as q, smooth, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
@@ -750,6 +751,38 @@ FROM lerp
 
 
 SQL_RESAMPLE = _resample_sql()
+
+ASOF_TOLERANCE_S = 12 * 3600
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: every purchase event is enriched with the user's most
+    recent prior view/click (inclusive, <= 12 h stale). Union-ffill
+    formulation — one hash exchange on the key, one sort, no join node
+    (movingspark/asof.py); oracle is DuckDB's native ASOF LEFT JOIN."""
+    pts = _events(spark, sf_dir)
+    left = pts.filter(F.col("event_type") == "purchase").select("traj_id", "t", "x", "y")
+    right = pts.filter(F.col("event_type").isin("view", "click")).select(
+        "traj_id", "t", F.col("x").alias("vx"), F.col("y").alias("vy")
+    )
+    return asof.asof_join(left, right, "traj_id", "t", tolerance_s=float(ASOF_TOLERANCE_S))
+
+
+SQL_ASOF_JOIN = f"""
+WITH pts AS (SELECT traj_id, t, x, y, event_type FROM ({EVENTS_POINTS_ORACLE_FULL})),
+l AS (SELECT traj_id, t, x, y FROM pts WHERE event_type = 'purchase'),
+r AS (SELECT traj_id, t AS rt, x AS vx, y AS vy FROM pts
+      WHERE event_type IN ('view', 'click'))
+SELECT l.traj_id, l.t, l.x, l.y,
+       CASE WHEN ok THEN vx END AS vx_r,
+       CASE WHEN ok THEN vy END AS vy_r,
+       CASE WHEN ok THEN rt END AS t_r
+FROM (
+  SELECT l.*, r.vx, r.vy, r.rt,
+         epoch_us(l.t) - epoch_us(r.rt) <= {ASOF_TOLERANCE_S * 1_000_000} AS ok
+  FROM l ASOF LEFT JOIN r ON l.traj_id = r.traj_id AND l.t >= r.rt
+) l
+"""
 
 
 def q_tile_rollup_salted(spark, sf_dir):
@@ -2717,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vectorize": q_tile_vectorize,
         "raster_regions": q_raster_regions,
         "resample": q_resample,
+        "asof_join": q_asof_join,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2801,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_vectorize": SQL_TILE_VECTORIZE,
         "raster_regions": SQL_RASTER_REGIONS,
         "resample": SQL_RESAMPLE,
+        "asof_join": SQL_ASOF_JOIN,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
