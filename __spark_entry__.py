@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movingspark import aggregate, cells, clean, derive, generalize, ingest, joins, raster
-from movingspark import asof
+from movingspark import asof, proximity
 from movingspark import resample as resample_mod
 from movingspark import io as mio, overlay, queries as q, smooth, split, stops
 from movingspark.ingest import EVENTS_POINTS_ORACLE_FULL, docs_oracle_sql
@@ -751,6 +751,39 @@ FROM lerp
 
 
 SQL_RESAMPLE = _resample_sql()
+
+PROX_MAX_DIST = 3.0
+PROX_MAX_DT_S = 6 * 3600
+
+
+def q_proximity_pairs(spark, sf_dir):
+    """Spatiotemporal proximity join (contact pairs): trajectory pairs
+    with observations within 3.0 units AND 6 h of each other. Grid-
+    bucketed one-sided 27-way replication + equi-join, never all-pairs
+    (movingspark/proximity.py); the oracle is DuckDB's brute-force
+    range join over the same points."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = proximity.proximity_pairs(
+        pts, PROX_MAX_DIST, float(PROX_MAX_DT_S), res=CELL_RES, bounds=CELL_BOUNDS
+    )
+    return out.withColumn(
+        "min_dist", F.floor(F.col("min_dist") * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+    )
+
+
+SQL_PROXIMITY_PAIRS = f"""
+WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL}))
+SELECT a.traj_id AS traj_a, b.traj_id AS traj_b,
+       COUNT(*) AS n_contacts,
+       FLOOR(MIN(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))) * 100000.0 + 0.5)
+         / 100000.0 AS min_dist
+FROM pts a JOIN pts b
+  ON a.traj_id < b.traj_id
+ AND ABS(epoch_us(a.t) - epoch_us(b.t)) <= {PROX_MAX_DT_S * 1_000_000}
+ AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {PROX_MAX_DIST * PROX_MAX_DIST}
+GROUP BY 1, 2
+"""
+
 
 ASOF_TOLERANCE_S = 12 * 3600
 
@@ -2751,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_regions": q_raster_regions,
         "resample": q_resample,
         "asof_join": q_asof_join,
+        "proximity_pairs": q_proximity_pairs,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2836,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": SQL_RASTER_REGIONS,
         "resample": SQL_RESAMPLE,
         "asof_join": SQL_ASOF_JOIN,
+        "proximity_pairs": SQL_PROXIMITY_PAIRS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -167,6 +167,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("media_decode", lambda: force(E.q_media_decode(spark, sf_dir)))
     run("raster_regions", lambda: force(E.q_raster_regions(spark, sf_dir)))
     run("resample", lambda: force(E.q_resample(spark, sf_dir)))
+    run("proximity_pairs", lambda: force(E.q_proximity_pairs(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]
