@@ -752,6 +752,67 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+QUERY_ROUTE = [(30.0, 20.0), (90.0, 50.0), (150.0, 80.0), (60.0, 90.0)]
+
+
+def q_frechet_route(spark, sf_dir):
+    """Order-aware route similarity: discrete Fréchet distance from every
+    trajectory to QUERY_ROUTE, run as a pure-Catalyst F.aggregate fold
+    over the folded coordinate arrays (pairs.frechet_to_polyline) —
+    zero Python; the oracle walks the identical DP via a recursive CTE."""
+    from movingspark import pairs
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = pairs.frechet_to_polyline(pts, QUERY_ROUTE)
+    return out.withColumn(
+        "frechet", F.floor(F.col("frechet") * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+    )
+
+
+def _frechet_route_sql() -> str:
+    # mirrors pairs.frechet_to_polyline's exact float-op order (sub, mul,
+    # add, sqrt; GREATEST/LEAST are exact selections), so raws are
+    # bit-identical and the floor-round is engine-neutral.
+    m = len(QUERY_ROUTE)
+
+    def d(xc, yc, j):
+        qx, qy = QUERY_ROUTE[j]
+        return (
+            f"SQRT(({xc} - CAST({qx!r} AS DOUBLE)) * ({xc} - CAST({qx!r} AS DOUBLE))"
+            f" + ({yc} - CAST({qy!r} AS DOUBLE)) * ({yc} - CAST({qy!r} AS DOUBLE)))"
+        )
+
+    init = [d("x", "y", 0)]
+    for j in range(1, m):
+        init.append(f"GREATEST({init[j - 1]}, {d('x', 'y', j)})")
+    init_sel = ", ".join(f"{e} AS c{j}" for j, e in enumerate(init))
+    new = [f"GREATEST({d('p.x', 'p.y', 0)}, s.c0)"]
+    for j in range(1, m):
+        new.append(
+            f"GREATEST({d('p.x', 'p.y', j)}, LEAST(s.c{j}, s.c{j - 1}, {new[j - 1]}))"
+        )
+    step_sel = ", ".join(f"{e} AS c{j}" for j, e in enumerate(new))
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT traj_id, x, y,
+         ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY t) AS i,
+         COUNT(*) OVER (PARTITION BY traj_id) AS n
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+walk AS (
+  SELECT traj_id, i, n, {init_sel} FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.traj_id, p.i, p.n, {step_sel}
+  FROM walk s JOIN pts p ON p.traj_id = s.traj_id AND p.i = s.i + 1
+)
+SELECT traj_id, FLOOR(c{m - 1} * 100000.0 + 0.5) / 100000.0 AS frechet
+FROM walk WHERE i = n
+"""
+
+
+SQL_FRECHET_ROUTE = _frechet_route_sql()
+
+
 PROX_MAX_DIST = 3.0
 PROX_MAX_DT_S = 6 * 3600
 
@@ -1043,9 +1104,6 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY traj_id, t, x, y
           ORDER BY hav, cluster_id) AS rk FROM scored)
 WHERE rk = 1
 """
-
-
-QUERY_ROUTE = [(30.0, 20.0), (90.0, 50.0), (150.0, 80.0), (60.0, 90.0)]
 
 
 def q_hausdorff_route(spark, sf_dir):
@@ -2785,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "asof_join": q_asof_join,
         "proximity_pairs": q_proximity_pairs,
+        "frechet_route": q_frechet_route,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2871,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": SQL_RESAMPLE,
         "asof_join": SQL_ASOF_JOIN,
         "proximity_pairs": SQL_PROXIMITY_PAIRS,
+        "frechet_route": SQL_FRECHET_ROUTE,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -179,3 +179,62 @@ def hausdorff_to_polyline(
         .groupBy(cols.traj_id)
         .agg(F.max("__d").alias("hausdorff"))
     )
+
+
+def frechet_to_polyline(
+    df: DataFrame, polyline: list[tuple[float, float]], cols: PointCols = TRAJ_COLS
+) -> DataFrame:
+    """Discrete Fréchet distance (Eiter & Mannila 1994 coupling DP) from
+    each trajectory's time-ordered points to a fixed query route — the
+    order-aware route-similarity metric Hausdorff lacks (a trajectory
+    that traces the route BACKWARDS scores 0 on Hausdorff but large on
+    Fréchet). Output: (traj_id, frechet).
+
+    The O(n*m) DP runs as a PURE CATALYST fold — zero Python: each
+    trajectory folds to its sorted coordinate arrays (one exchange, the
+    same map-side-combinable collect as every pair metric here), then
+    F.aggregate() walks the points carrying the m-wide DP row as a
+    struct, with the column recurrence
+
+        new[0] = max(d(p, 0), acc[0])
+        new[j] = max(d(p, j), min(acc[j], acc[j-1], new[j-1]))
+
+    unrolled over the route's m vertices. Unrolling duplicates the
+    new[j-1] subtree, so expression size is O(2^m): fine for the short
+    query routes this op is for (m <= ~10); longer routes belong in the
+    pandas-UDF pair kernel above. Per trajectory the fold is linear and
+    the whole op is scan -> partial agg -> fold: no join, nothing
+    quadratic in points, skew bounded by trajectory length."""
+    m = len(polyline)
+    if m < 1:
+        raise ValueError("polyline needs at least one vertex")
+    k = cols.traj_id
+    a = _traj_coords(df, cols, k)
+    xs, ys = f"__{k}_xs", f"__{k}_ys"
+    pts = F.arrays_zip(F.col(xs), F.col(ys))
+
+    def d(p, j):
+        qx, qy = polyline[j]
+        dx, dy = p[xs] - F.lit(float(qx)), p[ys] - F.lit(float(qy))
+        return F.sqrt(dx * dx + dy * dy)
+
+    def init_state(p):
+        c = [d(p, 0)]
+        for j in range(1, m):
+            c.append(F.greatest(c[j - 1], d(p, j)))
+        return F.struct(*[cj.alias(f"c{j}") for j, cj in enumerate(c)])
+
+    def step(acc, p):
+        new = [F.greatest(d(p, 0), acc["c0"])]
+        for j in range(1, m):
+            new.append(
+                F.greatest(
+                    d(p, j),
+                    F.least(acc[f"c{j}"], acc[f"c{j-1}"], new[j - 1]),
+                )
+            )
+        return F.struct(*[nj.alias(f"c{j}") for j, nj in enumerate(new)])
+
+    rest = F.slice(pts, F.lit(2), F.greatest(F.size(pts) - F.lit(1), F.lit(0)))
+    out = F.aggregate(rest, init_state(pts[0]), step, lambda acc: acc[f"c{m-1}"])
+    return a.select(k, out.alias("frechet"))

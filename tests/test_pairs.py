@@ -72,3 +72,59 @@ def test_distance_to_point_sql_path(spark):
     got2 = pairs.distance_to_point(df, 2.0, 0.0).collect()[0]["min_distance"]
     # closest point on y=x line to (2,0) is (1,1): sqrt(2)
     assert got2 == pytest.approx(math.sqrt(2), abs=1e-12)
+
+
+def _frechet_np(a, q):
+    """Independent numpy discrete Fréchet (Eiter & Mannila 1994) for
+    test ground truth."""
+    n, m = len(a), len(q)
+    ca = np.full((n, m), -1.0)
+    d = lambda i, j: math.dist(a[i], q[j])
+    ca[0, 0] = d(0, 0)
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d(0, j))
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d(i, 0))
+        for j in range(1, m):
+            ca[i, j] = max(d(i, j), min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]))
+    return ca[n - 1, m - 1]
+
+
+def test_frechet_direction_sensitivity(spark):
+    # same geometry walked forwards vs backwards: Hausdorff identical,
+    # Fréchet blows up on the reversed walk.
+    route = [(0.0, 0.0), (5.0, 0.0), (10.0, 0.0)]
+    fwd = _traj(spark, "f", [(0.0, 1.0), (5.0, 1.0), (10.0, 1.0)])
+    rev = _traj(spark, "r", [(10.0, 1.0), (5.0, 1.0), (0.0, 1.0)])
+    df = fwd.unionByName(rev)
+    got = {r["traj_id"]: r["frechet"] for r in pairs.frechet_to_polyline(df, route).collect()}
+    # forward walk couples vertex-to-vertex: constant offset 1.
+    assert got["f"] == pytest.approx(1.0)
+    # reversed walk is forced to couple across the route: >= |(10,1)-(0,0)|.
+    assert got["r"] == pytest.approx(math.hypot(10.0, 1.0))
+    assert got["r"] > got["f"]
+
+
+def test_frechet_matches_numpy_dp(spark):
+    route = [(30.0, 20.0), (90.0, 50.0), (150.0, 80.0), (60.0, 90.0)]
+    rng = np.random.default_rng(7)
+    trajs = {}
+    rows = []
+    for tid in range(6):
+        n = int(rng.integers(2, 40))
+        pts = rng.uniform(0, 160, size=(n, 2)).round(3)
+        trajs[str(tid)] = pts
+        rows += [
+            (str(tid), f"2020-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}", float(x), float(y))
+            for i, (x, y) in enumerate(pts)
+        ]
+    df = rows_to_points(spark, rows)
+    got = {r["traj_id"]: r["frechet"] for r in pairs.frechet_to_polyline(df, route).collect()}
+    for tid, pts in trajs.items():
+        assert got[tid] == pytest.approx(_frechet_np(pts, route), rel=1e-12), tid
+
+
+def test_frechet_single_vertex_route_is_max_distance(spark):
+    df = _traj(spark, "a", [(0.0, 0.0), (3.0, 4.0)])
+    got = pairs.frechet_to_polyline(df, [(0.0, 0.0)]).collect()[0]["frechet"]
+    assert got == pytest.approx(5.0)
