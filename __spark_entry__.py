@@ -752,6 +752,32 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_geofence_events(spark, sf_dir):
+    """Geofence enter/exit event extraction against the standard AOI
+    rectangle: codegen'd contains flag + one lag over the trajectory
+    window, transitions only (movingspark/geofence.py). No join, no
+    Python; output is transition-sized."""
+    from movingspark import geofence
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return geofence.geofence_events(pts, POLY)
+
+
+SQL_GEOFENCE_EVENTS = f"""
+WITH flagged AS (
+  SELECT traj_id, t, x, y,
+         {POLY_SQL} AS inn,
+         LAG({POLY_SQL}) OVER w AS prev_in,
+         LAG(t) OVER w AS t_prev
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+  WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT traj_id, t, x, y,
+       CASE WHEN inn THEN 'enter' ELSE 'exit' END AS event, t_prev
+FROM flagged WHERE prev_in IS NOT NULL AND inn <> prev_in
+"""
+
+
 QUERY_ROUTE = [(30.0, 20.0), (90.0, 50.0), (150.0, 80.0), (60.0, 90.0)]
 
 
@@ -2844,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "proximity_pairs": q_proximity_pairs,
         "frechet_route": q_frechet_route,
+        "geofence_events": q_geofence_events,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2931,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "proximity_pairs": SQL_PROXIMITY_PAIRS,
         "frechet_route": SQL_FRECHET_ROUTE,
+        "geofence_events": SQL_GEOFENCE_EVENTS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -1,0 +1,61 @@
+import datetime as dt
+
+from movingspark.geofence import geofence_events
+
+E = dt.datetime(2024, 1, 1)
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+
+
+def _ts(s):
+    return E + dt.timedelta(seconds=s)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "traj_id string, t timestamp, x double, y double"
+    )
+
+
+def test_geofence_enter_exit_sequence(spark):
+    # out -> in (enter) -> in -> out (exit) -> out -> in (enter)
+    df = _pts(
+        spark,
+        [
+            ("a", _ts(0), -5.0, 5.0),
+            ("a", _ts(10), 5.0, 5.0),
+            ("a", _ts(20), 6.0, 5.0),
+            ("a", _ts(30), 15.0, 5.0),
+            ("a", _ts(40), 16.0, 5.0),
+            ("a", _ts(50), 5.0, 5.0),
+        ],
+    )
+    ev = sorted(geofence_events(df, SQUARE).collect(), key=lambda r: r["t"])
+    assert [(r["event"], (r["t"] - E).total_seconds(), (r["t_prev"] - E).total_seconds()) for r in ev] == [
+        ("enter", 10.0, 0.0),
+        ("exit", 30.0, 20.0),
+        ("enter", 50.0, 40.0),
+    ]
+
+
+def test_geofence_start_inside_no_event_and_boundary_is_inside(spark):
+    # b starts inside: no event until it leaves. c touches the boundary
+    # exactly (x=10): on-edge counts inside, so no exit for c.
+    df = _pts(
+        spark,
+        [
+            ("b", _ts(0), 5.0, 5.0),
+            ("b", _ts(10), 20.0, 5.0),
+            ("c", _ts(0), 5.0, 5.0),
+            ("c", _ts(10), 10.0, 5.0),
+            ("c", _ts(20), 5.0, 5.0),
+        ],
+    )
+    ev = geofence_events(df, SQUARE).collect()
+    assert len(ev) == 1
+    assert (ev[0]["traj_id"], ev[0]["event"]) == ("b", "exit")
+
+
+def test_geofence_no_python_in_plan(spark):
+    df = _pts(spark, [("a", _ts(0), 1.0, 1.0), ("a", _ts(1), 2.0, 2.0)])
+    plan = geofence_events(df, SQUARE)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Join" not in plan
