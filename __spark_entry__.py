@@ -752,6 +752,44 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization quality audit over the embeddings table
+    (similarity.quantize_int8): per-vector scale, code checksum,
+    saturation count, L2 reconstruction error — all Catalyst array
+    expressions, one scan, zero shuffle."""
+    from movingspark.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return quantize_int8(emb)
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> ABS(x)), 'max') = 0.0
+              THEN 1.0
+              ELSE list_aggregate(list_transform(v, x -> ABS(x)), 'max') / 127.0
+         END AS scale
+  FROM e
+)
+SELECT vec_id, scale,
+  CAST(list_aggregate(list_transform(v,
+       x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5)))), 'sum') AS BIGINT)
+    AS checksum,
+  CAST(len(list_filter(v,
+       x -> ABS(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5)))) = 127.0)) AS BIGINT)
+    AS n_saturated,
+  FLOOR(SQRT(list_aggregate(list_transform(v,
+       x -> (x - GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) * scale)
+          * (x - GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) * scale)), 'sum'))
+        * 100000.0 + 0.5) / 100000.0 AS l2_err
+FROM s
+"""
+
+
 def q_geofence_events(spark, sf_dir):
     """Geofence enter/exit event extraction against the standard AOI
     rectangle: codegen'd contains flag + one lag over the trajectory
@@ -2871,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_pairs": q_proximity_pairs,
         "frechet_route": q_frechet_route,
         "geofence_events": q_geofence_events,
+        "quantize_embeddings": q_quantize_embeddings,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2959,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_pairs": SQL_PROXIMITY_PAIRS,
         "frechet_route": SQL_FRECHET_ROUTE,
         "geofence_events": SQL_GEOFENCE_EVENTS,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -640,3 +640,36 @@ def ingest_docs(spark):
     from movingspark.ingest import synth_interleaved_docs
 
     return synth_interleaved_docs(spark, 200)
+
+
+def test_quantize_int8_roundtrip_and_saturation(spark):
+    import numpy as np
+
+    from movingspark.similarity import quantize_int8
+
+    vecs = [
+        (0, [0.5, -1.0, 0.25, 1.27]),     # amax 1.27 -> scale 0.01
+        (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector -> scale 1.0, all codes 0
+        (2, [127.0, -127.0, 63.5, 0.0]),  # amax 127 -> scale 1.0, saturated ends
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+
+    r0 = got[0]
+    assert r0["scale"] == pytest.approx(1.27 / 127.0)
+    # codes: 50, -100, 25, 127 (floor(x/scale + .5))
+    assert r0["checksum"] == 50 - 100 + 25 + 127
+    assert r0["n_saturated"] == 1
+    expect_err = float(np.sqrt(sum((v - c * (1.27 / 127.0)) ** 2 for v, c in zip(vecs[0][1], [50, -100, 25, 127]))))
+    assert r0["l2_err"] == pytest.approx(expect_err, abs=1e-5)
+
+    assert got[1]["scale"] == 1.0 and got[1]["checksum"] == 0 and got[1]["l2_err"] == 0.0
+    assert got[2]["n_saturated"] == 2 and got[2]["checksum"] == 127 - 127 + 64
+
+
+def test_quantize_int8_no_python_no_shuffle(spark):
+    from movingspark.similarity import quantize_int8
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
