@@ -239,3 +239,72 @@ def streaming_tile_rollup(
     return tagged.groupBy("cell", F.window(cols.t, window).alias("w")).agg(
         F.count("*").alias("n_points")
     ).select("cell", F.col("w.start").alias("window_start"), "n_points")
+
+
+def streaming_geofence(
+    stream: DataFrame,
+    polygon,
+    holes=None,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """STATEFUL streaming twin of geofence.geofence_events
+    (applyInPandasWithState): enter/exit transition events against one
+    fence polygon, with each trajectory's last (t, inside) carried as
+    group state so a crossing whose two observations land in different
+    micro-batches is still emitted exactly once. Same contains
+    semantics as the batch operator (even-odd ray cast, on-edge counts
+    inside — kernels.point_in_polygon, the numpy twin of
+    joins.pip_expr); same first-observation rule (no event — there is
+    no prior side to transition from). Points are assumed to arrive
+    per-trajectory in event-time order across batches (sorted within a
+    batch here), the same contract as streaming_kinematics."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from movingspark import kernels
+
+    poly = np.asarray(polygon, float)
+    hs = [np.asarray(h, float) for h in (holes or [])]
+    out_schema = (
+        f"{cols.traj_id} string, {cols.t} timestamp, {cols.x} double, "
+        f"{cols.y} double, event string, t_prev timestamp"
+    )
+    state_schema = "t_us long, inside boolean"
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(cols.t, kind="mergesort").reset_index(drop=True)
+        xs = pdf[cols.x].to_numpy(float)
+        ys = pdf[cols.y].to_numpy(float)
+        t_us = pdf[cols.t].astype("int64").to_numpy() // 1000
+        inside = kernels.point_in_polygon(xs, ys, poly)
+        for h in hs:
+            inside &= ~kernels.point_in_polygon(xs, ys, h)
+        if state.exists:
+            p_tus, p_in = state.get
+            prev_in = np.concatenate([[p_in], inside[:-1]]).astype(bool)
+            prev_t = np.concatenate([[p_tus], t_us[:-1]])
+            chg = inside != prev_in
+        else:
+            prev_in = np.concatenate([[False], inside[:-1]]).astype(bool)
+            prev_t = np.concatenate([[0], t_us[:-1]])
+            chg = inside != prev_in
+            chg[0] = False  # first observation ever: no transition
+        state.update((int(t_us[-1]), bool(inside[-1])))
+        out = pd.DataFrame(
+            {
+                cols.traj_id: pdf[cols.traj_id][chg],
+                cols.t: pdf[cols.t][chg],
+                cols.x: xs[chg],
+                cols.y: ys[chg],
+                "event": np.where(inside[chg], "enter", "exit"),
+                "t_prev": pd.to_datetime(prev_t[chg], unit="us"),
+            }
+        )
+        yield out
+
+    return stream.groupBy(cols.traj_id).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

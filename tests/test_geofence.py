@@ -59,3 +59,64 @@ def test_geofence_no_python_in_plan(spark):
     df = _pts(spark, [("a", _ts(0), 1.0, 1.0), ("a", _ts(1), 2.0, 2.0)])
     plan = geofence_events(df, SQUARE)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_streaming_geofence_crossing_spans_micro_batches(spark, tmp_path):
+    """The enter transition's two observations land in DIFFERENT
+    micro-batches; the carried (t, inside) state must still emit it
+    exactly once, with t_prev from batch 1. Also: batch twin agreement
+    on the full input."""
+    import glob
+    import shutil
+
+    from movingspark import streaming
+
+    b1 = _pts(
+        spark,
+        [
+            ("a", _ts(0), -5.0, 5.0),   # outside
+            ("a", _ts(10), -1.0, 5.0),  # still outside
+        ],
+    )
+    b2 = _pts(
+        spark,
+        [
+            ("a", _ts(20), 5.0, 5.0),   # inside -> enter (prev in batch 1)
+            ("a", _ts(30), 15.0, 5.0),  # outside -> exit
+            ("z", _ts(0), 5.0, 5.0),    # first obs ever: no event
+        ],
+    )
+    src = str(tmp_path / "gf_src")
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        streaming.streaming_geofence(stream, SQUARE)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gf_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.sql("SELECT * FROM gf_test").collect(), key=lambda r: r["t"]
+    )
+    assert [(r["traj_id"], r["event"], (r["t"] - E).total_seconds(),
+             (r["t_prev"] - E).total_seconds()) for r in got] == [
+        ("a", "enter", 20.0, 10.0),
+        ("a", "exit", 30.0, 20.0),
+    ]
+    # batch twin on the union agrees
+    batch = sorted(
+        geofence_events(b1.unionByName(b2), SQUARE).collect(), key=lambda r: r["t"]
+    )
+    assert [(r["traj_id"], r["event"]) for r in batch] == [
+        (r["traj_id"], r["event"]) for r in got
+    ]
