@@ -82,8 +82,20 @@ def grouped_apply_sorted(
             if len(out):
                 yield out
 
+    # Explicit partition count: repartition(key) alone lets AQE coalesce
+    # by SHUFFLE BYTES, which is miscalibrated for a CPU-bound Python
+    # stage — at sf0.1 it folded 1500 trajectory groups onto 3 tasks and
+    # tripled overlay-clip wall time. Passing N pins the exchange to the
+    # configured shuffle parallelism (the operator's unit of CPU, not
+    # bytes); on a real cluster shuffle.partitions is sized to the job,
+    # so this keeps the configured intent at every scale.
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     return (
-        df.repartition(key)
+        df.repartition(n_parts, key)
         .sortWithinPartitions(key, order)
         .mapInPandas(per_batch, schema=schema)
     )

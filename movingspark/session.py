@@ -70,6 +70,15 @@ def tune_builder(builder: SparkSession.Builder, tmpfs_scratch: bool = False) -> 
         .config("spark.executor.extraJavaOptions", JVM_CODEGEN_OPTS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES (minPartitionSize
+        # default 1 MiB). That sizing is calibrated for JVM operators; the
+        # grouped-map Python kernels (overlay clip, stop detector, Kalman)
+        # are CPU-bound at ~100 bytes/row, so byte-based coalescing starved
+        # them to 3 tasks on 32 cores at sf0.1 (3.4x wall on overlay_clip).
+        # A 64 KiB floor keeps parallelismFirst in charge (partitions ~
+        # cores) while still merging genuinely tiny fragments; at cluster
+        # scale partitions are far above every floor and nothing changes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
