@@ -752,6 +752,37 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_frequent_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-50 whitespace tokens by occurrence count
+    (text.frequent_tokens) — two-phase agg + TakeOrderedAndProject,
+    deterministic lexicographic tie-break."""
+    from movingspark.text import frequent_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frequent_tokens(docs, k=50)
+
+
+def _frequent_tokens_sql() -> str:
+    from movingspark.text import LOWER_ASCII_SQL
+
+    low = LOWER_ASCII_SQL.format("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM({low}), '\\s+')) AS token
+  FROM documents
+),
+pairs AS (
+  SELECT token, doc_id, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY 1, 2
+)
+SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences, COUNT(*) AS n_docs
+FROM pairs GROUP BY 1
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
+SQL_FREQUENT_TOKENS = _frequent_tokens_sql()
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 scalar quantization quality audit over the embeddings table
     (similarity.quantize_int8): per-vector scale, code checksum,
@@ -2910,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_route": q_frechet_route,
         "geofence_events": q_geofence_events,
         "quantize_embeddings": q_quantize_embeddings,
+        "frequent_tokens": q_frequent_tokens,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -2999,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_route": SQL_FRECHET_ROUTE,
         "geofence_events": SQL_GEOFENCE_EVENTS,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "frequent_tokens": SQL_FREQUENT_TOKENS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -813,3 +813,34 @@ def redact_pii_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
             ),
         ),
     )
+
+
+def frequent_tokens(docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus heavy hitters: the k most frequent whitespace tokens
+    (ASCII-lowercased), with occurrence and document frequencies — the
+    vocabulary-audit / stopword-discovery pass of a corpus pipeline.
+    Ties at the cutoff break lexicographically so the selected set is
+    deterministic across partitionings and engines.
+
+    Plan: explode -> two-phase hash aggregate (map-side combine over
+    the token key) -> TakeOrderedAndProject for the top-k (partial
+    per-partition top-k below the single exchange — no global sort).
+    Document frequency is exact via a (token, doc) pre-aggregation,
+    which also bounds the second agg's input by the distinct-pair
+    count rather than raw occurrences."""
+    tok = F.explode(tokens_expr(lower_ascii(F.col(text_col)))).alias("token")
+    pairs = (
+        docs.select(F.col(id_col).alias("__doc"), tok)
+        .filter(F.col("token") != "")
+        .groupBy("token", "__doc")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.sum("__n").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(int(k))
+    )

@@ -673,3 +673,29 @@ def test_quantize_int8_no_python_no_shuffle(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
     plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_frequent_tokens_topk_and_tiebreak(spark):
+    from movingspark.text import frequent_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "Banana cherry"),
+            (2, "apple   cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = frequent_tokens(docs, k=2).collect()
+    got = [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows]
+    # apple and cherry both have 3 occurrences; 'apple' < 'cherry' wins
+    # the order, banana (2) falls outside k=2.
+    assert got == [("apple", 3, 2), ("cherry", 3, 2)]
+
+
+def test_frequent_tokens_topk_plan_is_partial(spark):
+    from movingspark.text import frequent_tokens
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = frequent_tokens(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
