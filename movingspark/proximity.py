@@ -98,8 +98,14 @@ def proximity_pairs(
         F.col("__tb").alias("jt"),
     )
     dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    # shuffle-hash hint, build side = the UN-replicated home copy: the
+    # static planner cannot estimate post-explode cardinality and was
+    # observed broadcasting the 27x-replicated side (3.3x wall at sf0.1);
+    # a shuffle hash join on the bucket key with the 27x-smaller side as
+    # the build table is also the only strategy that survives 100 TB,
+    # where neither side is broadcastable.
     contacts = (
-        a.join(b, ["jx", "jy", "jt"])
+        a.join(b.hint("shuffle_hash"), ["jx", "jy", "jt"])
         .filter(F.col("ta") < F.col("tb_"))
         .filter(F.abs(F.col("tua") - F.col("tub")) <= F.lit(tol_us))
         .filter(dx * dx + dy * dy <= F.lit(float(max_dist) * float(max_dist)))
