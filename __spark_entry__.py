@@ -752,6 +752,40 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+MULTIRES_COARSE = 2
+
+
+def q_tile_rollup_multires(spark, sf_dir):
+    """Hierarchical tile rollup (hypertable/continuous-aggregate shape):
+    fine res-5 rollup materialized once, res-2 derived by parent-cell
+    re-aggregation — point table scanned exactly once for both zoom
+    levels (joins.tile_rollup_multires). The oracle computes BOTH
+    levels directly from the raw points, so it verifies the additivity
+    of the parent derivation, not just the fine level."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.tile_rollup_multires(
+        pts, res_fine=CELL_RES, res_coarse=MULTIRES_COARSE, bounds=CELL_BOUNDS
+    )
+
+
+def _tile_rollup_multires_sql() -> str:
+    fx, fy = cells.cell_ixiy_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    cx, cy = cells.cell_ixiy_sql("x", "y", MULTIRES_COARSE, CELL_BOUNDS)
+    return f"""
+WITH pts AS (SELECT x, y FROM ({EVENTS_POINTS_ORACLE_FULL}))
+SELECT {CELL_RES} AS res, {cells.interleave_sql('ix', 'iy', CELL_RES)} AS cell,
+       n_points
+FROM (SELECT {fx} AS ix, {fy} AS iy, COUNT(*) AS n_points FROM pts GROUP BY 1, 2)
+UNION ALL
+SELECT {MULTIRES_COARSE} AS res, {cells.interleave_sql('ix', 'iy', MULTIRES_COARSE)} AS cell,
+       n_points
+FROM (SELECT {cx} AS ix, {cy} AS iy, COUNT(*) AS n_points FROM pts GROUP BY 1, 2)
+"""
+
+
+SQL_TILE_ROLLUP_MULTIRES = _tile_rollup_multires_sql()
+
+
 def q_frequent_tokens(spark, sf_dir):
     """Corpus heavy hitters: top-50 whitespace tokens by occurrence count
     (text.frequent_tokens) — two-phase agg + TakeOrderedAndProject,
@@ -2942,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_events": q_geofence_events,
         "quantize_embeddings": q_quantize_embeddings,
         "frequent_tokens": q_frequent_tokens,
+        "tile_rollup_multires": q_tile_rollup_multires,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3032,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_events": SQL_GEOFENCE_EVENTS,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
+        "tile_rollup_multires": SQL_TILE_ROLLUP_MULTIRES,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -499,3 +499,47 @@ def tile_rollup(
         .agg(F.count("*").alias("n_trajs"))
     )
     return counts.join(distincts, "cell", "left")
+
+
+def tile_rollup_multires(
+    df: DataFrame,
+    res_fine: int,
+    res_coarse: int,
+    value_col: str | None = None,
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Hierarchical tile rollup: materialize the fine-resolution rollup
+    ONCE, then derive every coarser level by re-aggregating cell ids
+    (parent = cell >> 2 per level, cells.parent_cell_expr) — the
+    hypertable / continuous-aggregate pattern. At 100 TB the point
+    table is scanned exactly once regardless of how many zoom levels a
+    tile service needs; each coarser level aggregates <= 4^res_fine
+    rows, so levels are effectively free after the first.
+
+    Output: one row per (res, cell) for both levels, with n_points
+    (+ sum_value) — counts are exactly additive under the parent
+    relation, which the oracle verifies against a direct coarse rollup
+    of the raw points. (Distinct-trajectory counts are NOT additive and
+    intentionally absent here; use tile_rollup per level when those are
+    needed.)"""
+    if res_coarse >= res_fine:
+        raise ValueError("res_coarse must be coarser (smaller) than res_fine")
+    tagged = with_cell(df, res_fine, bounds, cols, "cell")
+    aggs = [F.count("*").alias("n_points")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    fine = tagged.groupBy("cell").agg(*aggs)
+    coarse_aggs = [F.sum("n_points").alias("n_points")]
+    if value_col:
+        coarse_aggs.append(F.sum("sum_value").alias("sum_value"))
+    coarse = (
+        fine.groupBy(
+            cells.parent_cell_expr(F.col("cell"), res_fine - res_coarse).alias("cell")
+        )
+        .agg(*coarse_aggs)
+    )
+    lit_f, lit_c = F.lit(int(res_fine)), F.lit(int(res_coarse))
+    return fine.select(lit_f.alias("res"), "cell", *[c for c in fine.columns if c != "cell"]).unionByName(
+        coarse.select(lit_c.alias("res"), "cell", *[c for c in coarse.columns if c != "cell"])
+    )

@@ -402,3 +402,46 @@ def test_synth_skewed_points_hot_cell(spark):
         .groupBy("cell").count().orderBy(F.desc("count")).first()
     )
     assert top_u["count"] < 0.01 * 20_000
+
+
+def test_tile_rollup_multires_counts_additive(spark):
+    import datetime as dt
+
+    from movingspark import joins
+
+    E0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in range(40):
+        rows.append((f"t{k % 4}", E0 + dt.timedelta(seconds=k), float(k % 16), float((k * 3) % 16)))
+    df = spark.createDataFrame(rows, "traj_id string, t timestamp, x double, y double")
+    bounds = (0.0, 0.0, 16.0, 16.0)
+    out = joins.tile_rollup_multires(df, res_fine=3, res_coarse=1, bounds=bounds).collect()
+    fine = {r["cell"]: r["n_points"] for r in out if r["res"] == 3}
+    coarse = {r["cell"]: r["n_points"] for r in out if r["res"] == 1}
+    assert sum(fine.values()) == 40 and sum(coarse.values()) == 40
+    # every fine cell's parent (drop 2 bits per level, 2 levels) sums up
+    agg = {}
+    for cell, n in fine.items():
+        agg[cell >> 4] = agg.get(cell >> 4, 0) + n
+    assert agg == coarse
+    # direct coarse rollup over the points agrees
+    direct = {
+        r["cell"]: r["n_points"]
+        for r in joins.tile_rollup(df, res=1, bounds=bounds).collect()
+    }
+    assert direct == coarse
+
+
+def test_tile_rollup_multires_single_scan(spark):
+    from movingspark import joins
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0, 1.0)],
+        "traj_id string, t string, x double, y double",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    plan = (
+        joins.tile_rollup_multires(df, 3, 1, bounds=(0.0, 0.0, 16.0, 16.0))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    with pytest.raises(ValueError):
+        joins.tile_rollup_multires(df, 1, 3, bounds=(0.0, 0.0, 16.0, 16.0))
