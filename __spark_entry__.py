@@ -752,6 +752,46 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_geotag_media(spark, sf_dir):
+    """Media-span geotagging over interleaved documents: every media span
+    inherits the location of the latest preceding text observation in
+    its document (offset order — the north-rule span sequence) and gets
+    a tile cell (ingest.geotag_media_spans). Pure window algebra: one
+    doc_id exchange, no join, no Python."""
+    docs = ingest.synth_interleaved_docs(spark, N_DOCS)
+    return ingest.geotag_media_spans(docs, res=3)
+
+
+SQL_GEOTAG_MEDIA = f"""
+WITH docs AS ({docs_oracle_sql(N_DOCS)}),
+sp AS (SELECT doc_id, UNNEST(spans) AS span FROM docs),
+parsed AS (
+  SELECT doc_id,
+         span."offset" AS "offset",
+         span.kind AS kind,
+         span.media_ref AS media_ref,
+         CASE WHEN span.kind = 'text'
+              THEN to_timestamp(CAST(string_split(span.text, ';')[1] AS BIGINT)) AT TIME ZONE 'UTC'
+         END AS __t,
+         CASE WHEN span.kind = 'text' THEN CAST(string_split(span.text, ';')[2] AS DOUBLE) END AS __x,
+         CASE WHEN span.kind = 'text' THEN CAST(string_split(span.text, ';')[3] AS DOUBLE) END AS __y
+  FROM sp
+),
+filled AS (
+  SELECT doc_id, "offset", kind, media_ref,
+         LAST_VALUE(__t IGNORE NULLS) OVER w AS t,
+         LAST_VALUE(__x IGNORE NULLS) OVER w AS x,
+         LAST_VALUE(__y IGNORE NULLS) OVER w AS y
+  FROM parsed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, "offset", media_ref, t, x, y,
+       CASE WHEN x IS NOT NULL THEN {cells.cell_id_sql('x', 'y', 3)} END AS cell
+FROM filled WHERE kind = 'media'
+"""
+
+
 MULTIRES_COARSE = 2
 
 
@@ -2977,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "frequent_tokens": q_frequent_tokens,
         "tile_rollup_multires": q_tile_rollup_multires,
+        "geotag_media": q_geotag_media,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3068,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
         "tile_rollup_multires": SQL_TILE_ROLLUP_MULTIRES,
+        "geotag_media": SQL_GEOTAG_MEDIA,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

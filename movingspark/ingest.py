@@ -340,3 +340,51 @@ def synth_skewed_points(
         lat.cast("double").alias("y"),
         (i % 1000).cast("double").alias("value"),
     )
+
+
+def geotag_media_spans(docs: DataFrame, res: int, bounds=None) -> DataFrame:
+    """Geotag every media span of an interleaved document with the
+    location of the latest PRECEDING text-span observation in the same
+    document (span order = offset, the north-rule sequence invariant) —
+    the join that turns opaque media refs into spatially queryable
+    rows, e.g. "all images captured inside this AOI".
+
+    Pure window algebra, no join and no Python: explode all spans, parse
+    the text payloads (null for media), forward-fill (t, x, y) with
+    last(ignorenulls) over the per-document offset window, keep media
+    rows, assign the tile cell. One hash exchange on doc_id — the same
+    partitioning every doc pipeline already uses; media spans with no
+    preceding text span (document starts with media) carry null
+    location and cell, preserved for auditability."""
+    from movingspark import cells as _cells
+
+    bounds = bounds if bounds is not None else _cells.WORLD
+    sp = docs.select("doc_id", F.explode("spans").alias("span"))
+    txt = F.when(F.col("span.kind") == "text", F.col("span.text"))
+    parsed = sp.select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.timestamp_seconds(F.substring_index(txt, ";", 1).cast("long")).alias("__t"),
+        F.substring_index(F.substring_index(txt, ";", 2), ";", -1)
+        .cast("double")
+        .alias("__x"),
+        F.substring_index(txt, ";", -1).cast("double").alias("__y"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        parsed.withColumn("t", F.last("__t", ignorenulls=True).over(w))
+        .withColumn("x", F.last("__x", ignorenulls=True).over(w))
+        .withColumn("y", F.last("__y", ignorenulls=True).over(w))
+        .filter(F.col("kind") == "media")
+    )
+    cell = F.when(
+        F.col("x").isNotNull(),
+        _cells.cell_id_expr(F.col("x"), F.col("y"), res, bounds),
+    )
+    return filled.select("doc_id", "offset", "media_ref", "t", "x", "y", cell.alias("cell"))

@@ -113,3 +113,34 @@ def test_events_as_traj_points(spark):
     assert n > 0
     # no duplicate (traj_id, t)
     assert pts.select("traj_id", "t").distinct().count() == n
+
+
+def test_geotag_media_spans_ffill_and_leading_media(spark):
+    from movingspark import ingest
+
+    spans_a = [
+        {"kind": "media", "text": None, "media_ref": "m0", "offset": 0},  # no prior text
+        {"kind": "text", "text": "1500000000;10.0;20.0", "media_ref": None, "offset": 1},
+        {"kind": "media", "text": None, "media_ref": "m2", "offset": 2},
+        {"kind": "text", "text": "1500000060;30.0;40.0", "media_ref": None, "offset": 3},
+        {"kind": "media", "text": None, "media_ref": "m4", "offset": 4},
+    ]
+    docs = spark.createDataFrame(
+        [("d1", spans_a)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["media_ref"]: r for r in ingest.geotag_media_spans(docs, res=3).collect()}
+    assert set(got) == {"m0", "m2", "m4"}
+    assert got["m0"]["x"] is None and got["m0"]["cell"] is None  # leading media: no location
+    assert (got["m2"]["x"], got["m2"]["y"]) == (10.0, 20.0)
+    assert (got["m4"]["x"], got["m4"]["y"]) == (30.0, 40.0)
+    assert got["m4"]["cell"] is not None
+    assert got["m2"]["t"] is not None and got["m4"]["t"] > got["m2"]["t"]
+
+
+def test_geotag_media_no_join_no_python(spark):
+    from movingspark import ingest
+
+    docs = ingest.synth_interleaved_docs(spark, 10)
+    plan = ingest.geotag_media_spans(docs, res=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
