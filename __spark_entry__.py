@@ -752,6 +752,35 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_tile_dwell(spark, sf_dir):
+    """Time-weighted tile occupancy (joins.tile_dwell): segment duration
+    allocated to the start observation's cell — the irregular-sampling-
+    robust heatmap. dwell_s is exact integer microseconds / 1e6, so no
+    rounding is needed for engine parity."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.tile_dwell(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _tile_dwell_sql() -> str:
+    sx, sy = cells.cell_ixiy_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH seg AS (
+  SELECT x, y,
+         LEAD(epoch_us(t)) OVER (PARTITION BY traj_id ORDER BY t) - epoch_us(t) AS dt_us
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+)
+SELECT {cells.interleave_sql('ix', 'iy', CELL_RES)} AS cell, dwell_s, n_segments
+FROM (
+  SELECT {sx} AS ix, {sy} AS iy,
+         CAST(SUM(dt_us) AS DOUBLE) / 1000000.0 AS dwell_s, COUNT(*) AS n_segments
+  FROM seg WHERE dt_us IS NOT NULL GROUP BY 1, 2
+)
+"""
+
+
+SQL_TILE_DWELL = _tile_dwell_sql()
+
+
 def q_geotag_media(spark, sf_dir):
     """Media-span geotagging over interleaved documents: every media span
     inherits the location of the latest preceding text observation in
@@ -3018,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "tile_rollup_multires": q_tile_rollup_multires,
         "geotag_media": q_geotag_media,
+        "tile_dwell": q_tile_dwell,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3110,6 +3140,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_tokens": SQL_FREQUENT_TOKENS,
         "tile_rollup_multires": SQL_TILE_ROLLUP_MULTIRES,
         "geotag_media": SQL_GEOTAG_MEDIA,
+        "tile_dwell": SQL_TILE_DWELL,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

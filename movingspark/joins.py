@@ -543,3 +543,38 @@ def tile_rollup_multires(
     return fine.select(lit_f.alias("res"), "cell", *[c for c in fine.columns if c != "cell"]).unionByName(
         coarse.select(lit_c.alias("res"), "cell", *[c for c in coarse.columns if c != "cell"])
     )
+
+
+def tile_dwell(
+    df: DataFrame,
+    res: int,
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Time-weighted tile occupancy: each consecutive segment's duration
+    is allocated to the cell of its START observation, so a cell's
+    `dwell_s` approximates total time spent in it rather than sample
+    count — the heatmap that stays correct under irregular sampling
+    (tile_rollup over-counts wherever the sampler runs fast). Exact
+    boundary-split allocation is the overlay-clip path; this is the
+    standard first-order approximation used when segments are short
+    relative to cells.
+
+    Plan: one per-trajectory window (lead) for segment durations —
+    reusing the canonical traj_id exchange — then a map-side-combinable
+    two-column rollup per cell. Final observations have no successor
+    and contribute no time (they end the trajectory)."""
+    w = Window.partitionBy(cols.traj_id).orderBy(cols.t)
+    # sum MICROSECONDS (exact integers, order-free) and divide once at
+    # the end: a float sum's value depends on partial-agg association,
+    # which differs between engines and between runs.
+    dt_us = F.unix_micros(F.lead(cols.t).over(w)) - F.unix_micros(F.col(cols.t))
+    tagged = with_cell(df, res, bounds, cols, "cell").withColumn("__dt", dt_us)
+    return (
+        tagged.filter(F.col("__dt").isNotNull())
+        .groupBy("cell")
+        .agg(
+            (F.sum("__dt").cast("double") / F.lit(1e6)).alias("dwell_s"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )

@@ -445,3 +445,24 @@ def test_tile_rollup_multires_single_scan(spark):
     )
     with pytest.raises(ValueError):
         joins.tile_rollup_multires(df, 1, 3, bounds=(0.0, 0.0, 16.0, 16.0))
+
+
+def test_tile_dwell_time_allocation(spark):
+    import datetime as dt
+
+    E0 = dt.datetime(2024, 1, 1)
+    bounds = (0.0, 0.0, 16.0, 16.0)
+    # traj a: 10 s in cell of (1,1), then 20 s starting from (9,1)'s cell,
+    # final point contributes nothing.
+    df = spark.createDataFrame(
+        [
+            ("a", E0, 1.0, 1.0),
+            ("a", E0 + dt.timedelta(seconds=10), 9.0, 1.0),
+            ("a", E0 + dt.timedelta(seconds=30), 1.0, 9.0),
+        ],
+        "traj_id string, t timestamp, x double, y double",
+    )
+    rows = joins.tile_dwell(df, res=1, bounds=bounds).collect()
+    got = {r["cell"]: (r["dwell_s"], r["n_segments"]) for r in rows}
+    # res 1 over 16x16: 8x8 quadrants; Z-order puts (ix=1,iy=0) at cell 2
+    assert got == {0: (10.0, 1), 2: (20.0, 1)}
