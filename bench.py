@@ -168,6 +168,14 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("raster_regions", lambda: force(E.q_raster_regions(spark, sf_dir)))
     run("resample", lambda: force(E.q_resample(spark, sf_dir)))
     run("proximity_pairs", lambda: force(E.q_proximity_pairs(spark, sf_dir)))
+    run("asof_join", lambda: force(E.q_asof_join(spark, sf_dir)))
+    run("frechet_route", lambda: force(E.q_frechet_route(spark, sf_dir)))
+    run("geofence_events", lambda: force(E.q_geofence_events(spark, sf_dir)))
+    run("quantize_embeddings", lambda: force(E.q_quantize_embeddings(spark, sf_dir)))
+    run("frequent_tokens", lambda: force(E.q_frequent_tokens(spark, sf_dir)))
+    run("tile_rollup_multires", lambda: force(E.q_tile_rollup_multires(spark, sf_dir)))
+    run("geotag_media", lambda: force(E.q_geotag_media(spark, sf_dir)))
+    run("tile_dwell", lambda: force(E.q_tile_dwell(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]
