@@ -752,6 +752,39 @@ FROM lerp
 
 SQL_RESAMPLE = _resample_sql()
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination matrix (aggregate.od_matrix): per-trip
+    first/last cells via map-side-combinable min_by/max_by (no window,
+    no sort), then the cell-pair rollup."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return aggregate.od_matrix(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _od_matrix_sql() -> str:
+    ox, oy = cells.cell_ixiy_sql("ox", "oy", CELL_RES, CELL_BOUNDS)
+    dxs, dys = cells.cell_ixiy_sql("dx", "dy", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH ranked AS (
+  SELECT traj_id, x, y,
+         ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY t ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY t DESC) AS rn_d
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+trips AS (
+  SELECT a.traj_id, a.x AS ox, a.y AS oy, d.x AS dx, d.y AS dy
+  FROM (SELECT * FROM ranked WHERE rn_a = 1) a
+  JOIN (SELECT * FROM ranked WHERE rn_d = 1) d USING (traj_id)
+)
+SELECT {cells.interleave_sql(f'({ox})', f'({oy})', CELL_RES)} AS origin_cell,
+       {cells.interleave_sql(f'({dxs})', f'({dys})', CELL_RES)} AS dest_cell,
+       COUNT(*) AS n_trips
+FROM trips GROUP BY 1, 2
+"""
+
+
+SQL_OD_MATRIX = _od_matrix_sql()
+
+
 def q_tile_dwell(spark, sf_dir):
     """Time-weighted tile occupancy (joins.tile_dwell): segment duration
     allocated to the start observation's cell — the irregular-sampling-
@@ -3048,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_multires": q_tile_rollup_multires,
         "geotag_media": q_geotag_media,
         "tile_dwell": q_tile_dwell,
+        "od_matrix": q_od_matrix,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3141,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup_multires": SQL_TILE_ROLLUP_MULTIRES,
         "geotag_media": SQL_GEOTAG_MEDIA,
         "tile_dwell": SQL_TILE_DWELL,
+        "od_matrix": SQL_OD_MATRIX,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -434,3 +434,38 @@ def aggregate_flows(
     cents = cluster_significant_points(sig, max_distance, latlon)
     flows = compute_flows(df, cents, latlon, cols)
     return sig, cents, flows
+
+
+def od_matrix(
+    df: DataFrame,
+    res: int,
+    bounds=None,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Origin-destination matrix: one row per (origin cell, destination
+    cell) pair with trip counts, where origin/destination are the tile
+    cells of each trajectory's first/last observation — the aggregate
+    flow view planners ask for (X18's flows are cell-to-cell per
+    consecutive SEGMENT; this is end-to-end per TRIP).
+
+    Plan: min_by/max_by over the trajectory key (map-side-combinable —
+    no window, no sort) picks each trajectory's first and last
+    observation in one partial-aggregable pass, then a second tiny
+    rollup groups the per-trip rows into the matrix. Two exchanges
+    total, both on keys that shrink the data (traj count, then cell-
+    pair count)."""
+    from movingspark import cells as _cells
+
+    bounds = bounds if bounds is not None else _cells.WORLD
+    t, x, y = F.col(cols.t), F.col(cols.x), F.col(cols.y)
+    per_trip = df.groupBy(cols.traj_id).agg(
+        F.min_by(F.struct(x.alias("x"), y.alias("y")), t).alias("__o"),
+        F.max_by(F.struct(x.alias("x"), y.alias("y")), t).alias("__d"),
+    )
+    o_cell = _cells.cell_id_expr(F.col("__o.x"), F.col("__o.y"), res, bounds)
+    d_cell = _cells.cell_id_expr(F.col("__d.x"), F.col("__d.y"), res, bounds)
+    return (
+        per_trip.select(o_cell.alias("origin_cell"), d_cell.alias("dest_cell"))
+        .groupBy("origin_cell", "dest_cell")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )

@@ -150,3 +150,29 @@ def test_grid_cluster_weighted_zero_weight_partials():
     )
     without = aggregate.grid_cluster_weighted([(0.1, 0.1), (5.0, 5.0)], [3, 2], 10.0)
     assert with_zero == without
+
+
+def test_od_matrix_first_last_cells(spark):
+    import datetime as dt
+
+    from movingspark import aggregate
+
+    E0 = dt.datetime(2024, 1, 1)
+    bounds = (0.0, 0.0, 16.0, 16.0)
+    # a: (1,1) -> ... -> (9,1): origin cell 0, dest cell 2 (Z-order)
+    # b: round trip within one quadrant: origin == dest == 0
+    df = spark.createDataFrame(
+        [
+            ("a", E0, 1.0, 1.0),
+            ("a", E0 + dt.timedelta(seconds=5), 15.0, 15.0),  # middle ignored
+            ("a", E0 + dt.timedelta(seconds=9), 9.0, 1.0),
+            ("b", E0, 2.0, 2.0),
+            ("b", E0 + dt.timedelta(seconds=3), 3.0, 3.0),
+        ],
+        "traj_id string, t timestamp, x double, y double",
+    )
+    got = {
+        (r["origin_cell"], r["dest_cell"]): r["n_trips"]
+        for r in aggregate.od_matrix(df, res=1, bounds=bounds).collect()
+    }
+    assert got == {(0, 2): 1, (0, 0): 1}
