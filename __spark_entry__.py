@@ -2332,6 +2332,96 @@ def q_ann_cosine(spark, sf_dir):
     )
 
 
+def q_ann_quantized(spark, sf_dir):
+    """Compressed-domain ANN: top-k (k=5) neighbors ranked by the
+    COSINE OF THE INT8 CODES (similarity.quantize_int8's quantizer) —
+    the search mode a 100 TB index actually runs, scanning 4x less
+    data. The int dot product and squared norms are exact integer
+    arithmetic (order-free, engine-exact); per-vector scales cancel in
+    the cosine. Ties and the final rounding are deterministic, so the
+    oracle reproduces the ranking bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    base = emb.select("vec_id", F.col("v"), scale.alias("__s"))
+    code = lambda x: F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(x / F.col("__s") + F.lit(0.5)).cast("double")),
+    ).cast("long")
+    base = base.select(
+        "vec_id", F.transform(F.col("v"), code).alias("codes")
+    ).withColumn(
+        "ssq",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c * c
+        ),
+    ).filter(F.col("ssq") > 0)
+    qs = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qcodes"),
+        F.col("ssq").alias("qssq"),
+    )
+    pairs = base.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("codes", "qcodes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    sim = (
+        F.floor(
+            dot.cast("double")
+            / F.sqrt(F.col("ssq").cast("double") * F.col("qssq").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", "sim", "rk")
+    )
+
+
+SQL_ANN_QUANTIZED = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> ABS(x)), 'max') = 0.0
+              THEN 1.0
+              ELSE list_aggregate(list_transform(v, x -> ABS(x)), 'max') / 127.0
+         END AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS BIGINT)) AS codes
+  FROM s
+),
+n AS (
+  SELECT vec_id, codes,
+         CAST(list_aggregate(list_transform(codes, x -> x * x), 'sum') AS BIGINT) AS ssq
+  FROM c
+  WHERE CAST(list_aggregate(list_transform(codes, x -> x * x), 'sum') AS BIGINT) > 0
+),
+qs AS (SELECT vec_id AS query_id, codes AS qcodes, ssq AS qssq FROM n WHERE vec_id < 3),
+pairs AS (
+  SELECT query_id, n.vec_id,
+         FLOOR(CAST(list_aggregate(list_transform(list_zip(codes, qcodes), z -> z[1] * z[2]), 'sum') AS DOUBLE)
+               / SQRT(CAST(ssq AS DOUBLE) * CAST(qssq AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sim
+  FROM n, qs WHERE n.vec_id <> qs.query_id
+)
+SELECT query_id, vec_id, sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""
+
+
 SQL_ANN_COSINE = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
@@ -3082,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_media": q_geotag_media,
         "tile_dwell": q_tile_dwell,
         "od_matrix": q_od_matrix,
+        "ann_quantized": q_ann_quantized,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3176,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "geotag_media": SQL_GEOTAG_MEDIA,
         "tile_dwell": SQL_TILE_DWELL,
         "od_matrix": SQL_OD_MATRIX,
+        "ann_quantized": SQL_ANN_QUANTIZED,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -699,3 +699,21 @@ def test_frequent_tokens_topk_plan_is_partial(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     plan = frequent_tokens(docs, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_ann_quantized_recall_vs_exact(spark):
+    """Quantized-code cosine ranking should agree closely with exact
+    cosine ranking on well-conditioned vectors: recall@5 >= 4/5 per
+    query on the synthetic embeddings."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in E.q_ann_cosine(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in E.q_ann_quantized(spark, sf).collect():
+        quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(exact) == set(quant) and len(exact) == 3
+    for q in exact:
+        assert len(exact[q] & quant[q]) >= 4, (q, exact[q], quant[q])
