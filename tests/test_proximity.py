@@ -78,3 +78,17 @@ def test_proximity_guards(spark):
         proximity_pairs(df, max_dist=3.0, max_dt_s=60.0, res=RES, bounds=BOUNDS)
     with pytest.raises(ValueError):
         proximity_pairs(df, max_dist=1.0, max_dt_s=0.0, res=RES, bounds=BOUNDS)
+
+
+def test_proximity_plan_shuffle_hash_no_cartesian(spark):
+    # the static planner mis-broadcasts the 27x replicated side if left
+    # alone (it cannot estimate post-explode cardinality); the hint must
+    # hold the scale-safe shape: a shuffled hash join on the bucket key,
+    # never a cartesian product.
+    df = _pts(spark, [("a", _ts(0), 1.0, 1.0), ("b", _ts(1), 1.2, 1.0)])
+    plan = (
+        proximity_pairs(df, max_dist=1.0, max_dt_s=60.0, res=RES, bounds=BOUNDS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan
