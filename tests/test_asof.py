@@ -67,3 +67,42 @@ def test_asof_single_exchange_no_join(spark):
     plan = asof_join(left, right, "k", "t")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # key hash exchange (x2 union legs pre-AQE merge)
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Independent ground truth: pandas.merge_asof (backward, inclusive)
+    on randomized keys/timestamps, including duplicate left timestamps
+    and keys with no right rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{i}" for i in range(6)]
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.choice(keys, 80),
+            "t": pd.to_datetime(rng.integers(0, 10_000, 80), unit="s"),
+            "lv": rng.normal(size=80),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.choice(keys[:4], 50),  # k4,k5 have no right rows
+            "t": pd.to_datetime(rng.integers(0, 10_000, 50), unit="s"),
+            "rv": np.arange(50.0),
+        }
+    ).drop_duplicates(["k", "t"])  # operator contract: unique (key, t)
+
+    expect = pd.merge_asof(
+        left_pd.sort_values("t", kind="mergesort").reset_index(drop=True),
+        right_pd.sort_values("t", kind="mergesort").reset_index(drop=True),
+        on="t", by="k", direction="backward", suffixes=("", "_r"),
+    )
+    got = asof_join(
+        spark.createDataFrame(left_pd), spark.createDataFrame(right_pd), "k", "t"
+    ).toPandas()
+
+    key = lambda df: df.sort_values(["k", "t", "lv"], kind="mergesort").reset_index(drop=True)
+    e, g = key(expect), key(got)
+    assert len(e) == len(g)
+    assert (e["rv"].fillna(-1).to_numpy() == g["rv_r"].fillna(-1).to_numpy()).all()
