@@ -1044,6 +1044,51 @@ FROM walk WHERE i = n
 SQL_FRECHET_ROUTE = _frechet_route_sql()
 
 
+def q_route_progress(spark, sf_dir):
+    """Linear referencing against QUERY_ROUTE (pairs.route_progress):
+    per-observation distance-along-route + snap error, pure codegen
+    argmin over the route's segments; zero shuffle."""
+    from movingspark import pairs
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    out = pairs.route_progress(pts, QUERY_ROUTE)
+    for c in ("route_offset", "route_dist"):
+        out = out.withColumn(c, F.floor(F.col(c) * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5))
+    return out
+
+
+def _route_progress_sql() -> str:
+    # generates the same strict-< CASE fold (earliest segment wins ties)
+    # and the same clamp-projection float ops as pairs.route_progress.
+    import math
+
+    best_d, best_off = None, None
+    cum = 0.0
+    for (ax, ay), (bx, by) in zip(QUERY_ROUTE, QUERY_ROUTE[1:]):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        seg_len = math.sqrt(len2)
+        t = f"LEAST(GREATEST(((x - {ax!r}) * {dx!r} + (y - {ay!r}) * {dy!r}) / {len2!r}, 0.0), 1.0)"
+        cx, cy = f"({ax!r} + {t} * {dx!r})", f"({ay!r} + {t} * {dy!r})"
+        d = f"SQRT((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}))"
+        off = f"({cum!r} + {t} * {seg_len!r})"
+        if best_d is None:
+            best_d, best_off = d, off
+        else:
+            best_off = f"CASE WHEN {d} < {best_d} THEN {off} ELSE {best_off} END"
+            best_d = f"CASE WHEN {d} < {best_d} THEN {d} ELSE {best_d} END"
+        cum += seg_len
+    return f"""
+SELECT traj_id, t,
+       FLOOR(({best_off}) * 100000.0 + 0.5) / 100000.0 AS route_offset,
+       FLOOR(({best_d}) * 100000.0 + 0.5) / 100000.0 AS route_dist
+FROM ({EVENTS_POINTS_ORACLE_FULL})
+"""
+
+
+SQL_ROUTE_PROGRESS = _route_progress_sql()
+
+
 PROX_MAX_DIST = 3.0
 PROX_MAX_DT_S = 6 * 3600
 
@@ -3173,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dwell": q_tile_dwell,
         "od_matrix": q_od_matrix,
         "ann_quantized": q_ann_quantized,
+        "route_progress": q_route_progress,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3268,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_dwell": SQL_TILE_DWELL,
         "od_matrix": SQL_OD_MATRIX,
         "ann_quantized": SQL_ANN_QUANTIZED,
+        "route_progress": SQL_ROUTE_PROGRESS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -238,3 +238,55 @@ def frechet_to_polyline(
     rest = F.slice(pts, F.lit(2), F.greatest(F.size(pts) - F.lit(1), F.lit(0)))
     out = F.aggregate(rest, init_state(pts[0]), step, lambda acc: acc[f"c{m-1}"])
     return a.select(k, out.alias("frechet"))
+
+
+def route_progress(
+    df: DataFrame, polyline: list[tuple[float, float]], cols: PointCols = TRAJ_COLS
+) -> DataFrame:
+    """Linear referencing (map-matching-lite): snap every observation to
+    a driver-known route polyline and report `route_offset` (distance
+    along the route from its start to the snapped point) and
+    `route_dist` (snap error, the perpendicular distance). The
+    progress-along-route view is what turns raw fixes into "vehicle is
+    at km 14.2 of the corridor" — the primitive under ETA, headway and
+    corridor-occupancy queries.
+
+    Pure codegen, zero Python, zero shuffle: per segment the clamp
+    projection is the same arithmetic as hausdorff_to_polyline, the
+    argmin over the route's m segments is an unrolled strictly-less
+    CASE fold (ties keep the EARLIEST segment — deterministic and
+    mirrored by the SQL oracle), and the cumulative segment offsets
+    fold in as plan-time literals. One scan at any scale."""
+    import math
+
+    x, y = F.col(cols.x), F.col(cols.y)
+    if len(polyline) < 2:
+        raise ValueError("route needs at least 2 vertices")
+    best_d, best_off = None, None
+    cum = 0.0
+    for (ax, ay), (bx, by) in zip(polyline, polyline[1:]):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        seg_len = math.sqrt(len2)
+        if len2 == 0:
+            d = F.sqrt((x - ax) * (x - ax) + (y - ay) * (y - ay))
+            off = F.lit(cum)
+        else:
+            t_raw = ((x - ax) * dx + (y - ay) * dy) / F.lit(len2)
+            t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+            cx, cy = F.lit(ax) + t * dx, F.lit(ay) + t * dy
+            d = F.sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy))
+            off = F.lit(cum) + t * F.lit(seg_len)
+        if best_d is None:
+            best_d, best_off = d, off
+        else:
+            closer = d < best_d
+            best_off = F.when(closer, off).otherwise(best_off)
+            best_d = F.when(closer, d).otherwise(best_d)
+        cum += seg_len
+    return df.select(
+        cols.traj_id,
+        cols.t,
+        best_off.alias("route_offset"),
+        best_d.alias("route_dist"),
+    )

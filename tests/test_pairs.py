@@ -128,3 +128,40 @@ def test_frechet_single_vertex_route_is_max_distance(spark):
     df = _traj(spark, "a", [(0.0, 0.0), (3.0, 4.0)])
     got = pairs.frechet_to_polyline(df, [(0.0, 0.0)]).collect()[0]["frechet"]
     assert got == pytest.approx(5.0)
+
+
+def test_route_progress_offsets_and_snap_error(spark):
+    # route: two unit-axis segments (0,0)->(10,0)->(10,10); total len 20.
+    route = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]
+    df = _traj(
+        spark,
+        "a",
+        [
+            (0.0, 2.0),    # snaps to (0,0): offset 0, dist 2
+            (4.0, 1.0),    # snaps to (4,0): offset 4, dist 1
+            (11.0, 5.0),   # snaps to (10,5): offset 15, dist 1
+            (10.0, 10.0),  # route end: offset 20, dist 0
+        ],
+    )
+    got = {
+        round(r["route_offset"], 9): round(r["route_dist"], 9)
+        for r in pairs.route_progress(df, route).collect()
+    }
+    assert got == {0.0: 2.0, 4.0: 1.0, 15.0: 1.0, 20.0: 0.0}
+
+
+def test_route_progress_tie_keeps_earliest_segment(spark):
+    # the inside corner (9,1) is 1.0 from BOTH segments; the strict-<
+    # fold keeps the earliest segment's snap (offset 9, not 11).
+    route = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]
+    df = _traj(spark, "a", [(9.0, 1.0), (9.0, 1.0)])
+    rows = pairs.route_progress(df, route).collect()
+    assert all(r["route_offset"] == pytest.approx(9.0) for r in rows)
+    assert all(r["route_dist"] == pytest.approx(1.0) for r in rows)
+
+
+def test_route_progress_no_python_no_shuffle(spark):
+    route = [(0.0, 0.0), (10.0, 0.0)]
+    df = _traj(spark, "a", [(1.0, 1.0), (2.0, 2.0)])
+    plan = pairs.route_progress(df, route)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
