@@ -1044,6 +1044,50 @@ FROM walk WHERE i = n
 SQL_FRECHET_ROUTE = _frechet_route_sql()
 
 
+def q_speed_quantiles(spark, sf_dir):
+    """Per-trajectory segment-speed quantiles (p50/p95/max) — the speed
+    profile behind OutlierCleaner's v_max-q95 default
+    (trajectory_cleaner.py:112-172), exposed as a first-class query.
+    Exact percentile over segment speeds (lag window, n-1 values per
+    trajectory); one exchange shared with the ingest window."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    w = Window.partitionBy("traj_id").orderBy("t")
+    dt = (F.unix_micros(F.col("t")) - F.unix_micros(F.lag("t").over(w))).cast("double") / F.lit(1e6)
+    dist = F.sqrt(
+        (F.col("x") - F.lag("x").over(w)) * (F.col("x") - F.lag("x").over(w))
+        + (F.col("y") - F.lag("y").over(w)) * (F.col("y") - F.lag("y").over(w))
+    )
+    seg = pts.withColumn("__v", dist / dt).filter(F.col("__v").isNotNull())
+    q = seg.groupBy("traj_id").agg(
+        F.percentile("__v", F.lit(0.5)).alias("__p50"),
+        F.percentile("__v", F.lit(0.95)).alias("__p95"),
+        F.max("__v").alias("__max"),
+    )
+    return q.select(
+        "traj_id",
+        (F.round(F.col("__p50"), 6) + F.lit(0.0)).alias("p50_speed"),
+        (F.round(F.col("__p95"), 6) + F.lit(0.0)).alias("p95_speed"),
+        (F.round(F.col("__max"), 6) + F.lit(0.0)).alias("max_speed"),
+    )
+
+
+SQL_SPEED_QUANTILES = f"""
+WITH seg AS (
+  SELECT traj_id,
+         SQRT((x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+              + (y - LAG(y) OVER w) * (y - LAG(y) OVER w))
+           / ((epoch_us(t) - LAG(epoch_us(t)) OVER w) / 1000000.0) AS v
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+  WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT traj_id,
+       ROUND(quantile_cont(v, 0.5), 6) + 0.0 AS p50_speed,
+       ROUND(quantile_cont(v, 0.95), 6) + 0.0 AS p95_speed,
+       ROUND(MAX(v), 6) + 0.0 AS max_speed
+FROM seg WHERE v IS NOT NULL GROUP BY traj_id
+"""
+
+
 def q_route_progress(spark, sf_dir):
     """Linear referencing against QUERY_ROUTE (pairs.route_progress):
     per-observation distance-along-route + snap error, pure codegen
@@ -3219,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "ann_quantized": q_ann_quantized,
         "route_progress": q_route_progress,
+        "speed_quantiles": q_speed_quantiles,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3315,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": SQL_OD_MATRIX,
         "ann_quantized": SQL_ANN_QUANTIZED,
         "route_progress": SQL_ROUTE_PROGRESS,
+        "speed_quantiles": SQL_SPEED_QUANTILES,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
