@@ -176,6 +176,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("tile_rollup_multires", lambda: force(E.q_tile_rollup_multires(spark, sf_dir)))
     run("geotag_media", lambda: force(E.q_geotag_media(spark, sf_dir)))
     run("tile_dwell", lambda: force(E.q_tile_dwell(spark, sf_dir)))
+    run("od_matrix", lambda: force(E.q_od_matrix(spark, sf_dir)))
+    run("ann_quantized", lambda: force(E.q_ann_quantized(spark, sf_dir)))
+    run("route_progress", lambda: force(E.q_route_progress(spark, sf_dir)))
+    run("speed_quantiles", lambda: force(E.q_speed_quantiles(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]
