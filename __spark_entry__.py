@@ -1044,6 +1044,58 @@ FROM walk WHERE i = n
 SQL_FRECHET_ROUTE = _frechet_route_sql()
 
 
+def q_corridor_cells(spark, sf_dir):
+    """Segment supercover (raster.corridor_cells): every cell each
+    trajectory segment passes through — line rasterization as pure
+    Catalyst array algebra; distinct (traj_id, cell) output."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return raster.corridor_cells(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _corridor_cells_sql() -> str:
+    minx, miny, maxx, maxy = CELL_BOUNDS
+    n = 1 << CELL_RES
+    spanx, spany = maxx - minx, maxy - miny
+    ix0, iy0 = cells.cell_ixiy_sql("x0", "y0", CELL_RES, CELL_BOUNDS)
+    ix1, iy1 = cells.cell_ixiy_sql("x1", "y1", CELL_RES, CELL_BOUNDS)
+
+    def crossings(p0, p1, ilo, ihi, origin, span):
+        return (
+            f"CASE WHEN {p1} <> {p0} AND {ihi} > {ilo} THEN "
+            f"list_transform(generate_series({ilo} + 1, {ihi}), "
+            f"i -> ({origin!r} + CAST(i AS DOUBLE) * {span!r} / {float(n)!r} - {p0}) / ({p1} - {p0})) "
+            f"ELSE CAST([] AS DOUBLE[]) END"
+        )
+
+    tx = crossings("x0", "x1", f"LEAST({ix0}, {ix1})", f"GREATEST({ix0}, {ix1})", float(minx), float(spanx))
+    ty = crossings("y0", "y1", f"LEAST({iy0}, {iy1})", f"GREATEST({iy0}, {iy1})", float(miny), float(spany))
+    px, py = "(x0 + m * (x1 - x0))", "(y0 + m * (y1 - y0))"
+    return f"""
+WITH seg AS (
+  SELECT traj_id,
+         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0, x AS x1, y AS y1
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+  WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+withts AS (
+  SELECT traj_id, x0, y0, x1, y1,
+         list_sort(list_concat(list_concat([0.0, 1.0], {tx}), {ty})) AS tlist
+  FROM seg WHERE x0 IS NOT NULL
+),
+mids AS (
+  SELECT traj_id, x0, y0, x1, y1,
+         UNNEST(list_transform(generate_series(1, len(tlist) - 1),
+                j -> (tlist[j] + tlist[j + 1]) * 0.5)) AS m
+  FROM withts
+)
+SELECT DISTINCT traj_id, {cells.cell_id_sql(px, py, CELL_RES, CELL_BOUNDS)} AS cell
+FROM mids
+"""
+
+
+SQL_CORRIDOR_CELLS = _corridor_cells_sql()
+
+
 def q_speed_quantiles(spark, sf_dir):
     """Per-trajectory segment-speed quantiles (p50/p95/max) — the speed
     profile behind OutlierCleaner's v_max-q95 default
@@ -3264,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "route_progress": q_route_progress,
         "speed_quantiles": q_speed_quantiles,
+        "corridor_cells": q_corridor_cells,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3361,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": SQL_ANN_QUANTIZED,
         "route_progress": SQL_ROUTE_PROGRESS,
         "speed_quantiles": SQL_SPEED_QUANTILES,
+        "corridor_cells": SQL_CORRIDOR_CELLS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

@@ -31,7 +31,7 @@ trajectory_aggregator.py:141-233) motivated `aggregate.flows`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from movingspark import cells
@@ -220,3 +220,80 @@ def raster_regions(
         (F.lit(float(miny)) + (F.max("iy") + 1) * F.lit(ch)).alias("y_max"),
     )
     return out
+
+
+def corridor_cells(
+    df: DataFrame,
+    res: int,
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Exact segment supercover: every grid cell each trajectory SEGMENT
+    passes through (not just the cells containing observations) — the
+    corridor membership query behind "which tiles did this vehicle
+    traverse", and the line-rasterization dual of `rasterize`'s
+    point-rasterization. Output: distinct (traj_id, cell).
+
+    Pure Catalyst, zero Python: per consecutive segment, the crossing
+    parameters with every interior vertical/horizontal grid line are
+    materialized with sequence()+transform(), sorted with 0 and 1 into
+    interval boundaries, and each interval MIDPOINT is classified into
+    its cell (midpoints are strictly inside one cell, so no boundary
+    ambiguity). Cost is output-bound: O(cells crossed) per segment, the
+    same bound as integer supercover DDA. One trajectory exchange (the
+    lag window), one distinct."""
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+    spanx, spany = maxx - minx, maxy - miny
+    w = Window.partitionBy(cols.traj_id).orderBy(cols.t)
+    x0, y0 = F.lag(cols.x).over(w), F.lag(cols.y).over(w)
+    seg = (
+        df.select(
+            cols.traj_id,
+            x0.alias("x0"),
+            y0.alias("y0"),
+            F.col(cols.x).alias("x1"),
+            F.col(cols.y).alias("y1"),
+        )
+        .filter(F.col("x0").isNotNull())
+    )
+    ix0, iy0 = cells.cell_ixiy_expr(F.col("x0"), F.col("y0"), res, bounds)
+    ix1, iy1 = cells.cell_ixiy_expr(F.col("x1"), F.col("y1"), res, bounds)
+
+    def crossings(lo, hi, p0, p1, origin, span):
+        # t at interior grid lines i in (lo, hi]: (origin + i*span/n - p0)/(p1 - p0)
+        return F.when(
+            (p1 != p0) & (hi > lo),
+            F.transform(
+                F.sequence(lo + F.lit(1).cast("long"), hi),
+                lambda i: (
+                    F.lit(float(origin))
+                    + i.cast("double") * F.lit(span) / F.lit(float(n))
+                    - p0
+                )
+                / (p1 - p0),
+            ),
+        ).otherwise(F.array().cast("array<double>"))
+
+    tx = crossings(
+        F.least(ix0, ix1), F.greatest(ix0, ix1), F.col("x0"), F.col("x1"), minx, spanx
+    )
+    ty = crossings(
+        F.least(iy0, iy1), F.greatest(iy0, iy1), F.col("y0"), F.col("y1"), miny, spany
+    )
+    ts = F.array_sort(F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty))
+    k = F.size(ts)
+    mids = F.zip_with(
+        F.slice(ts, 1, k - 1), F.slice(ts, 2, k - 1), lambda a, b: (a + b) * F.lit(0.5)
+    )
+    cell_of = lambda m: cells.cell_id_expr(
+        F.col("x0") + m * (F.col("x1") - F.col("x0")),
+        F.col("y0") + m * (F.col("y1") - F.col("y0")),
+        res,
+        bounds,
+    )
+    arr = F.array_distinct(F.transform(mids, cell_of))
+    return (
+        seg.select(cols.traj_id, F.explode(arr).alias("cell"))
+        .distinct()
+    )

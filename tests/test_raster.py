@@ -94,3 +94,63 @@ def test_raster_regions_local_and_distributed_paths_identical(spark):
         map(tuple, raster.raster_regions(pts, RES, 2, BOUNDS, max_local_cells=0).collect())
     )
     assert a == b
+
+
+def test_corridor_cells_supercover(spark):
+    import datetime as dt
+
+    E0 = dt.datetime(2024, 1, 1)
+    # 16x16 bounds at res 3 -> 2x2 cells. One diagonal segment from
+    # (1,1) to (7,5): passes cells (0,0),(1,1),(2,1),(2,2),(3,2) in grid
+    # coords... compute expected with a tiny reference supercover.
+    bounds = (0.0, 0.0, 16.0, 16.0)
+    res = 3
+    pts = [(1.0, 1.0), (7.0, 5.0)]
+    df = spark.createDataFrame(
+        [("a", E0 + dt.timedelta(seconds=i), x, y) for i, (x, y) in enumerate(pts)],
+        "traj_id string, t timestamp, x double, y double",
+    )
+    got = {r["cell"] for r in raster.corridor_cells(df, res, bounds).collect()}
+
+    # reference: dense sampling of the segment (far denser than cells)
+    import numpy as np
+
+    from movingspark import cells as C
+
+    t = np.linspace(0, 1, 20001)
+    xs = 1.0 + t * 6.0
+    ys = 1.0 + t * 4.0
+    expect = set(C.cell_id_np(xs, ys, res, bounds).tolist())
+    assert got == expect and len(got) >= 4
+
+
+def test_corridor_cells_axis_aligned_and_point_segment(spark):
+    import datetime as dt
+
+    E0 = dt.datetime(2024, 1, 1)
+    bounds = (0.0, 0.0, 16.0, 16.0)
+    df = spark.createDataFrame(
+        [
+            ("h", E0, 1.0, 1.0), ("h", E0 + dt.timedelta(seconds=1), 15.0, 1.0),  # horizontal: 8 cells
+            ("p", E0, 5.0, 5.0), ("p", E0 + dt.timedelta(seconds=1), 5.0, 5.0),  # zero length -> its own cell
+        ],
+        "traj_id string, t timestamp, x double, y double",
+    )
+    rows = raster.corridor_cells(df, 3, bounds).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["traj_id"], set()).add(r["cell"])
+    assert len(by["h"]) == 8  # crosses all 8 columns in row 0
+    assert len(by["p"]) == 1
+
+
+def test_corridor_cells_no_python(spark):
+    import datetime as dt
+
+    E0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", E0, 1.0, 1.0), ("a", E0 + dt.timedelta(seconds=1), 2.0, 2.0)],
+        "traj_id string, t timestamp, x double, y double",
+    )
+    plan = raster.corridor_cells(df, 3, (0.0, 0.0, 16.0, 16.0))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
