@@ -2481,8 +2481,15 @@ def q_ann_quantized(spark, sf_dir):
     arithmetic (order-free, engine-exact); per-vector scales cancel in
     the cosine. Ties and the final rounding are deterministic, so the
     oracle reproduces the ranking bit-for-bit."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # repartition before the array kernels: higher-order functions run
+    # interpreted, so a single parquet split would serialize the whole
+    # quantize+score pipeline onto one core (measured 2.7 s -> 1.5 s
+    # at sf0.1); at cluster scale the input has many splits and this
+    # exchange is O(vectors), negligible next to the scoring.
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     scale = F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(amax / F.lit(127.0))
