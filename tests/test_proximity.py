@@ -92,3 +92,45 @@ def test_proximity_plan_shuffle_hash_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_proximity_matches_bruteforce_randomized(spark):
+    """Randomized parity vs an O(n^2) numpy brute force — exercises
+    bucket-boundary contacts, multi-contact pairs and empty results."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 120
+    trajs = rng.integers(0, 12, n)
+    xs = rng.uniform(0, 16, n)
+    ys = rng.uniform(0, 16, n)
+    tss = rng.integers(0, 3000, n)
+    rows = [
+        (f"t{trajs[i]:02d}", _ts(int(tss[i]) + i * 1e-3), float(xs[i]), float(ys[i]))
+        for i in range(n)  # +i ms: unique (traj, t) per the point-table contract
+    ]
+    df = _pts(spark, rows)
+    max_dist, tol = 1.5, 120.0
+    got = {
+        (r["traj_a"], r["traj_b"]): (r["n_contacts"], r["min_dist"])
+        for r in proximity_pairs(df, max_dist, tol, res=RES, bounds=BOUNDS).collect()
+    }
+
+    t_us = (tss * 1_000_000 + np.arange(n) * 1000).astype(np.int64)
+    expect = {}
+    for i in range(n):
+        for j in range(n):
+            a, b = f"t{trajs[i]:02d}", f"t{trajs[j]:02d}"
+            if not a < b:
+                continue
+            if abs(int(t_us[i]) - int(t_us[j])) > tol * 1e6:
+                continue
+            d = float(np.hypot(xs[i] - xs[j], ys[i] - ys[j]))
+            if d * d > max_dist * max_dist:
+                continue
+            c, m = expect.get((a, b), (0, np.inf))
+            expect[(a, b)] = (c + 1, min(m, d))
+    assert set(got) == set(expect)
+    for k, (c, m) in expect.items():
+        assert got[k][0] == c, k
+        assert got[k][1] == pytest.approx(m, rel=1e-12), k

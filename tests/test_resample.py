@@ -75,3 +75,49 @@ def test_resample_invalid_interval(spark):
     df = _pts(spark, [("a", _ts(0), 0.0, 0.0)])
     with pytest.raises(ValueError):
         resample_trajectories(df, 0.0)
+
+
+def test_resample_matches_numpy_reference_randomized(spark):
+    """Randomized parity vs a numpy grid-interpolation reference:
+    off-grid endpoints, single-point trajectories, dense and sparse
+    sampling."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    interval = 7.0
+    i_us = int(interval * 1e6)
+    rows, ref = [], {}
+    for tid in range(8):
+        n = int(rng.integers(1, 25))
+        t_us = np.sort(rng.choice(np.arange(0, 500_000_000, 1000), n, replace=False))
+        xs = rng.uniform(-5, 5, n).round(4)
+        ys = rng.uniform(-5, 5, n).round(4)
+        rows += [
+            (f"r{tid}", _ts(int(t) / 1e6), float(x), float(y))
+            for t, x, y in zip(t_us, xs, ys)
+        ]
+        # reference: ticks t0 + k*I while <= tmax; lerp between brackets
+        t0, tmax = int(t_us[0]), int(t_us[-1])
+        k = 0
+        while t0 + k * i_us <= tmax:
+            tick = t0 + k * i_us
+            j = int(np.searchsorted(t_us, tick, "right")) - 1
+            if t_us[j] == tick or j == n - 1:
+                ref[(f"r{tid}", tick)] = (float(xs[j]), float(ys[j]))
+            else:
+                fr = (tick - t_us[j]) / (t_us[j + 1] - t_us[j])
+                ref[(f"r{tid}", tick)] = (
+                    float(xs[j] + (xs[j + 1] - xs[j]) * fr),
+                    float(ys[j] + (ys[j + 1] - ys[j]) * fr),
+                )
+            k += 1
+    df = _pts(spark, rows)
+    one_us = dt.timedelta(microseconds=1)
+    got = {
+        (r["traj_id"], (r["t"] - E) // one_us): (r["x"], r["y"])
+        for r in resample_trajectories(df, interval).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == pytest.approx(ref[k][0], rel=1e-12), k
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-12), k
