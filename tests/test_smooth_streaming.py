@@ -265,3 +265,35 @@ def test_batch_dedup_survivor_deterministic(spark):
             for r in streaming.streaming_dedup(df.repartition(parts)).collect()
         )
         assert kept == ["early", "other"]
+
+
+def test_route_progress_and_corridor_exprs_on_stream(spark, tmp_path):
+    """The new stateless spatial ops (route snap, corridor supercover)
+    are pure expressions, so they run UNCHANGED on a readStream source —
+    same guarantee the gopher/PII exprs carry."""
+    from movingspark import pairs, raster
+
+    df = rows_to_points(
+        spark,
+        [
+            (1, "2020-01-01T00:00:00", 1.0, 1.0),
+            (1, "2020-01-01T00:00:10", 9.0, 1.0),
+            (2, "2020-01-01T00:00:00", 5.0, 5.0),
+            (2, "2020-01-01T00:00:05", 5.0, 6.0),
+        ],
+    )
+    src = str(tmp_path / "rp_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    route = [(0.0, 0.0), (10.0, 0.0)]
+    out = pairs.route_progress(stream, route)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("rp_stream").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["traj_id"], r["t"], round(r["route_offset"], 6), round(r["route_dist"], 6))
+    got = sorted(key(r) for r in spark.sql("SELECT * FROM rp_stream").collect())
+    batch = sorted(key(r) for r in pairs.route_progress(df, route).collect())
+    assert got == batch and len(got) == 4
