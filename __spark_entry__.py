@@ -704,10 +704,11 @@ def q_resample(spark, sf_dir):
     return out
 
 
-def _resample_sql() -> str:
+def _resample_sql(src: str | None = None) -> str:
     i_us = RESAMPLE_INTERVAL_S * 1_000_000
+    src = src if src is not None else EVENTS_POINTS_ORACLE_FULL
     return f"""
-WITH pts AS (SELECT traj_id, t, x, y FROM ({EVENTS_POINTS_ORACLE_FULL})),
+WITH pts AS (SELECT traj_id, t, x, y FROM ({src})),
 seg AS (
   SELECT traj_id, epoch_us(t) AS tu, x, y,
          LEAD(epoch_us(t)) OVER w AS tu1,
@@ -1042,6 +1043,59 @@ FROM walk WHERE i = n
 
 
 SQL_FRECHET_ROUTE = _frechet_route_sql()
+
+
+def q_pipeline_tile_speed(spark, sf_dir):
+    """Composed pipeline — IQR clean -> fixed-interval resample ->
+    segment speed -> per-tile MAX speed — four operators chained as one
+    declarative plan (Catalyst fuses the windows onto one trajectory
+    exchange). Max is an exact order-free selection, so the composition
+    stays engine-reproducible end to end; the oracle recomputes the
+    whole chain from the same fragments."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    cleaned = clean.iqr_clean(pts, {"x": 1.0})
+    rs = resample_mod.resample_trajectories(cleaned, float(RESAMPLE_INTERVAL_S))
+    for c in ("x", "y"):
+        rs = rs.withColumn(c, F.floor(F.col(c) * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5))
+    w = Window.partitionBy("traj_id").orderBy("t")
+    dt = (F.unix_micros(F.col("t")) - F.unix_micros(F.lag("t").over(w))).cast("double") / F.lit(1e6)
+    dist = F.sqrt(
+        (F.col("x") - F.lag("x").over(w)) * (F.col("x") - F.lag("x").over(w))
+        + (F.col("y") - F.lag("y").over(w)) * (F.col("y") - F.lag("y").over(w))
+    )
+    spd = rs.withColumn("__v", dist / dt).filter(F.col("__v").isNotNull())
+    cell = cells.cell_id_expr(F.col("x"), F.col("y"), CELL_RES, CELL_BOUNDS)
+    return (
+        spd.select(cell.alias("cell"), "__v")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (F.floor(F.max("__v") * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)).alias("max_speed"),
+        )
+    )
+
+
+def _pipeline_tile_speed_sql() -> str:
+    cleaned = SQL_IQR_CLEAN.strip()
+    resampled = _resample_sql(cleaned).strip()
+    return f"""
+WITH rs AS ({resampled}),
+spd AS (
+  SELECT x, y,
+         SQRT((x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+              + (y - LAG(y) OVER w) * (y - LAG(y) OVER w))
+           / ((epoch_us(t) - LAG(epoch_us(t)) OVER w) / 1000000.0) AS v
+  FROM rs
+  WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT {cells.cell_id_sql('x', 'y', CELL_RES, CELL_BOUNDS)} AS cell,
+       COUNT(*) AS n_segments,
+       FLOOR(MAX(v) * 100000.0 + 0.5) / 100000.0 AS max_speed
+FROM spd WHERE v IS NOT NULL GROUP BY 1
+"""
+
+
+SQL_PIPELINE_TILE_SPEED = _pipeline_tile_speed_sql()
 
 
 def q_corridor_cells(spark, sf_dir):
@@ -3324,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_progress": q_route_progress,
         "speed_quantiles": q_speed_quantiles,
         "corridor_cells": q_corridor_cells,
+        "pipeline_tile_speed": q_pipeline_tile_speed,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3422,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "route_progress": SQL_ROUTE_PROGRESS,
         "speed_quantiles": SQL_SPEED_QUANTILES,
         "corridor_cells": SQL_CORRIDOR_CELLS,
+        "pipeline_tile_speed": SQL_PIPELINE_TILE_SPEED,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
