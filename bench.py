@@ -180,6 +180,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run("ann_quantized", lambda: force(E.q_ann_quantized(spark, sf_dir)))
     run("route_progress", lambda: force(E.q_route_progress(spark, sf_dir)))
     run("speed_quantiles", lambda: force(E.q_speed_quantiles(spark, sf_dir)))
+    run("corridor_cells", lambda: force(E.q_corridor_cells(spark, sf_dir)))
+    run("pipeline_tile_speed", lambda: force(E.q_pipeline_tile_speed(spark, sf_dir)))
 
     pts.unpersist()
     timings["_noisy_passes"] = noise["noisy_passes"]
