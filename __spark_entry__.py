@@ -1045,6 +1045,41 @@ FROM walk WHERE i = n
 SQL_FRECHET_ROUTE = _frechet_route_sql()
 
 
+def q_cell_visits(spark, sf_dir):
+    """Cell-visit segmentation (joins.cell_visits): consecutive
+    observations in one tile collapse to a visit row with enter/leave/
+    duration; re-entry opens a new visit. Single trajectory exchange."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return joins.cell_visits(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _cell_visits_sql() -> str:
+    cell = cells.cell_id_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH tagged AS (
+  SELECT traj_id, t, {cell} AS cell FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+flagged AS (
+  SELECT *, CASE WHEN LAG(cell) OVER w IS NULL OR LAG(cell) OVER w <> cell
+                 THEN 1 ELSE 0 END AS nv
+  FROM tagged WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+),
+visits AS (
+  SELECT *, CAST(SUM(nv) OVER (PARTITION BY traj_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS visit
+  FROM flagged
+)
+SELECT traj_id, visit, MIN(cell) AS cell,
+       MIN(t) AS enter_t, MAX(t) AS leave_t,
+       CAST(epoch_us(MAX(t)) - epoch_us(MIN(t)) AS DOUBLE) / 1000000.0 AS duration_s,
+       COUNT(*) AS n_points
+FROM visits GROUP BY 1, 2
+"""
+
+
+SQL_CELL_VISITS = _cell_visits_sql()
+
+
 def q_pipeline_tile_speed(spark, sf_dir):
     """Composed pipeline — IQR clean -> fixed-interval resample ->
     segment speed -> per-tile MAX speed — four operators chained as one
@@ -3379,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_quantiles": q_speed_quantiles,
         "corridor_cells": q_corridor_cells,
         "pipeline_tile_speed": q_pipeline_tile_speed,
+        "cell_visits": q_cell_visits,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3478,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         "speed_quantiles": SQL_SPEED_QUANTILES,
         "corridor_cells": SQL_CORRIDOR_CELLS,
         "pipeline_tile_speed": SQL_PIPELINE_TILE_SPEED,
+        "cell_visits": SQL_CELL_VISITS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

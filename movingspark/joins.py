@@ -578,3 +578,45 @@ def tile_dwell(
             F.count(F.lit(1)).alias("n_segments"),
         )
     )
+
+
+def cell_visits(
+    df: DataFrame,
+    res: int,
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Cell-visit segmentation: consecutive observations in the same
+    tile cell collapse into one VISIT row (traj_id, cell, visit number,
+    enter/leave time, duration, point count) — the tile-granular dwell
+    ledger behind "how long did each vehicle stay in each zone", and
+    the all-cells generalization of the single-fence geofence events.
+    Re-entering a cell later opens a NEW visit (visits are temporal
+    runs, not distinct-cell rollups).
+
+    One trajectory window (lag + running sum over the same sort) and a
+    map-side-combinable group — the standard single-exchange shape;
+    duration sums integer microseconds (exact, order-free) and divides
+    once."""
+    w = Window.partitionBy(cols.traj_id).orderBy(cols.t)
+    tagged = with_cell(df, res, bounds, cols, "cell")
+    new_visit = F.when(
+        F.lag("cell").over(w).isNull() | (F.lag("cell").over(w) != F.col("cell")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    visits = tagged.withColumn(
+        "visit",
+        F.sum(new_visit).over(
+            Window.partitionBy(cols.traj_id)
+            .orderBy(cols.t)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    t_us = F.unix_micros(F.col(cols.t))
+    return visits.groupBy(cols.traj_id, "visit").agg(
+        F.first("cell").alias("cell"),
+        F.min(cols.t).alias("enter_t"),
+        F.max(cols.t).alias("leave_t"),
+        ((F.max(t_us) - F.min(t_us)).cast("double") / F.lit(1e6)).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
