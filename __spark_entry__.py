@@ -1045,6 +1045,56 @@ FROM walk WHERE i = n
 SQL_FRECHET_ROUTE = _frechet_route_sql()
 
 
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the tile raster
+    (raster.hotspot_gi): point table scanned once, statistic computed on
+    raster-sized data via a 3x3 replicate-explode neighborhood join."""
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return raster.hotspot_gi(pts, res=CELL_RES, bounds=CELL_BOUNDS)
+
+
+def _hotspot_gi_sql() -> str:
+    sx, sy = cells.cell_ixiy_sql("x", "y", CELL_RES, CELL_BOUNDS)
+    return f"""
+WITH ras AS (
+  SELECT ix, iy, {cells.interleave_sql('ix', 'iy', CELL_RES)} AS cell, n_points
+  FROM (SELECT {sx} AS ix, {sy} AS iy, COUNT(*) AS n_points
+        FROM ({EVENTS_POINTS_ORACLE_FULL}) GROUP BY 1, 2)
+),
+stats AS (
+  SELECT COUNT(*) AS N, CAST(SUM(n_points) AS BIGINT) AS s1,
+         CAST(SUM(n_points * n_points) AS BIGINT) AS s2
+  FROM ras
+),
+nb AS (
+  SELECT b.cell, b.n_points,
+         CAST(SUM(a.n_points) AS BIGINT) AS sw, COUNT(*) AS ni
+  FROM ras b JOIN ras a
+    ON a.ix BETWEEN b.ix - 1 AND b.ix + 1
+   AND a.iy BETWEEN b.iy - 1 AND b.iy + 1
+  GROUP BY 1, 2
+)
+SELECT cell, n_points, sw AS neighborhood_points, ni AS n_neighbors,
+       CASE WHEN N > 1
+             AND SQRT(CAST(s2 AS DOUBLE) / CAST(N AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(N AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(N AS DOUBLE)))
+                 * SQRT((CAST(N AS DOUBLE) * CAST(ni AS DOUBLE) - CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
+                        / (CAST(N AS DOUBLE) - 1.0)) > 0
+            THEN FLOOR(
+              (CAST(sw AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(N AS DOUBLE)) * CAST(ni AS DOUBLE))
+              / (SQRT(CAST(s2 AS DOUBLE) / CAST(N AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(N AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(N AS DOUBLE)))
+                 * SQRT((CAST(N AS DOUBLE) * CAST(ni AS DOUBLE) - CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE))
+                        / (CAST(N AS DOUBLE) - 1.0)))
+              * 100000.0 + 0.5) / 100000.0
+       END AS gi_z
+FROM nb, stats
+"""
+
+
+SQL_HOTSPOT_GI = _hotspot_gi_sql()
+
+
 def q_cell_visits(spark, sf_dir):
     """Cell-visit segmentation (joins.cell_visits): consecutive
     observations in one tile collapse to a visit row with enter/leave/
@@ -3415,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corridor_cells": q_corridor_cells,
         "pipeline_tile_speed": q_pipeline_tile_speed,
         "cell_visits": q_cell_visits,
+        "hotspot_gi": q_hotspot_gi,
         # -- most load-bearing re-checks (driver-green in r03) -----------
         "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
@@ -3515,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "corridor_cells": SQL_CORRIDOR_CELLS,
         "pipeline_tile_speed": SQL_PIPELINE_TILE_SPEED,
         "cell_visits": SQL_CELL_VISITS,
+        "hotspot_gi": SQL_HOTSPOT_GI,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,

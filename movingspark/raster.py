@@ -38,7 +38,7 @@ from movingspark import cells
 from movingspark.components import connected_components
 from movingspark.joins import TRAJ_COLS, PointCols
 
-__all__ = ["rasterize", "vectorize_tiles", "raster_regions"]
+__all__ = ["rasterize", "vectorize_tiles", "raster_regions", "corridor_cells", "hotspot_gi"]
 
 
 def rasterize(
@@ -296,4 +296,74 @@ def corridor_cells(
     return (
         seg.select(cols.traj_id, F.explode(arr).alias("cell"))
         .distinct()
+    )
+
+
+def hotspot_gi(
+    df: DataFrame,
+    res: int,
+    bounds=cells.WORLD,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic over the tile raster (binary 3x3
+    neighborhood incl. self, study area = occupied cells): per cell a
+    z-score for whether its NEIGHBORHOOD's point density is anomalously
+    high/low against the global distribution — the standard hotspot map
+    behind "where do trajectories concentrate beyond chance".
+
+        Gi* = (S_w - x_bar * n_i) / (s * sqrt((N*n_i - n_i^2) / (N-1)))
+
+    with S_w the neighborhood count sum, n_i the occupied-neighbor
+    count (edge cells have fewer), N/x_bar/s the occupied-cell count /
+    mean / population std.
+
+    Scale shape: the point table is touched once (the rollup); the
+    neighborhood sum is a 9-way replicate-explode equi-join on raster-
+    sized data (<= 4^res rows, same machinery as raster_regions); the
+    global moments come from exact integer sums broadcast back as one
+    row — so the statistic's cost is raster-sized regardless of input.
+    Cells with undefined variance (s = 0 or N < 2) return NULL gi_z,
+    mirrored by the oracle."""
+    ras = rasterize(df, res, bounds, None, cols).select("ix", "iy", "cell", "n_points")
+    stats = ras.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("n_points").alias("__sum"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("__sumsq"),
+    )
+    # replicate each cell to its 3x3 neighborhood; join against home cells
+    a = (
+        ras.withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            (F.col("ix") + F.col("__dx")).alias("jx"),
+            (F.col("iy") + F.col("__dy")).alias("jy"),
+            F.col("n_points").alias("nb_points"),
+        )
+    )
+    nb = (
+        ras.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"), "cell", "n_points")
+        .join(a, ["jx", "jy"])
+        .groupBy("cell")
+        .agg(
+            F.sum("nb_points").alias("__sw"),
+            F.count(F.lit(1)).alias("__ni"),
+            F.first("n_points").alias("n_points"),
+        )
+    )
+    out = nb.crossJoin(F.broadcast(stats))
+    n_d = F.col("__N").cast("double")
+    mean = F.col("__sum").cast("double") / n_d
+    s = F.sqrt(F.col("__sumsq").cast("double") / n_d - mean * mean)
+    ni = F.col("__ni").cast("double")
+    denom = s * F.sqrt((n_d * ni - ni * ni) / (n_d - F.lit(1.0)))
+    gi = F.when(
+        (F.col("__N") > 1) & (denom > 0),
+        (F.col("__sw").cast("double") - mean * ni) / denom,
+    )
+    return out.select(
+        "cell",
+        F.col("n_points"),
+        F.col("__sw").alias("neighborhood_points"),
+        F.col("__ni").cast("long").alias("n_neighbors"),
+        (F.floor(gi * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)).alias("gi_z"),
     )

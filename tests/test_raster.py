@@ -154,3 +154,43 @@ def test_corridor_cells_no_python(spark):
     )
     plan = raster.corridor_cells(df, 3, (0.0, 0.0, 16.0, 16.0))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_hotspot_gi_statistic(spark):
+    import math
+
+    # 5 occupied cells: a 2x2 hot block of 10s + one far cell of 2.
+    pts = _pts(
+        spark,
+        {(3, 3): 10, (4, 3): 10, (3, 4): 10, (4, 4): 10, (12, 12): 2},
+    )
+    rows = {r["cell"]: r for r in raster.hotspot_gi(pts, RES, BOUNDS).collect()}
+    assert len(rows) == 5
+    counts = [10, 10, 10, 10, 2]
+    N, mean = 5, sum(counts) / 5
+    s = math.sqrt(sum(c * c for c in counts) / N - mean * mean)
+
+    def gi(sw, ni):
+        return (sw - mean * ni) / (s * math.sqrt((N * ni - ni * ni) / (N - 1)))
+
+    # each block cell neighbors the other three (+self): sw=40, ni=4
+    from movingspark import cells as C
+    import numpy as np
+
+    block = C.cell_id_np(np.array([3.5, 4.5, 3.5, 4.5]), np.array([3.5, 3.5, 4.5, 4.5]), RES, BOUNDS)
+    far = int(C.cell_id_np(np.array([12.5]), np.array([12.5]), RES, BOUNDS)[0])
+    for c in block:
+        r = rows[int(c)]
+        assert r["n_neighbors"] == 4 and r["neighborhood_points"] == 40
+        assert r["gi_z"] == pytest.approx(gi(40, 4), abs=1e-5)
+    r = rows[far]
+    assert r["n_neighbors"] == 1 and r["neighborhood_points"] == 2
+    assert r["gi_z"] == pytest.approx(gi(2, 1), abs=1e-5)
+    assert r["gi_z"] < 0 < rows[int(block[0])]["gi_z"]
+
+
+def test_hotspot_gi_degenerate_variance_is_null(spark):
+    # two isolated cells with identical counts: s = 0 -> gi_z NULL
+    pts = _pts(spark, {(1, 1): 3, (12, 12): 3})
+    rows = raster.hotspot_gi(pts, RES, BOUNDS).collect()
+    assert len(rows) == 2 and all(r["gi_z"] is None for r in rows)
