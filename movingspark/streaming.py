@@ -308,3 +308,74 @@ def streaming_geofence(
     return stream.groupBy(cols.traj_id).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cell_visits(
+    stream: DataFrame,
+    res: int,
+    bounds=None,
+    cols: PointCols = TRAJ_COLS,
+) -> DataFrame:
+    """STATEFUL streaming twin of joins.cell_visits: tile-visit rows
+    (traj_id, cell, enter_t, leave_t, duration_s, n_points) emitted as
+    visits CLOSE — i.e. when a later observation lands in a different
+    cell. The open visit (a trajectory's current cell) lives in the
+    state store, so a visit spanning micro-batches is emitted exactly
+    once with the correct enter time from the earlier batch. The final
+    open visit of a trajectory never emits (a stream cannot know the
+    trajectory ended) — the documented batch/stream boundary, same as
+    streaming_kinematics' missing first-row backpatch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from movingspark import cells as _cells
+
+    bounds = bounds if bounds is not None else _cells.WORLD
+    out_schema = (
+        f"{cols.traj_id} string, cell long, enter_t timestamp, leave_t timestamp, "
+        "duration_s double, n_points long"
+    )
+    state_schema = "cell long, enter_us long, leave_us long, n long"
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(cols.t, kind="mergesort").reset_index(drop=True)
+        xs = pdf[cols.x].to_numpy(float)
+        ys = pdf[cols.y].to_numpy(float)
+        t_us = pdf[cols.t].astype("int64").to_numpy() // 1000
+        cell = _cells.cell_id_np(xs, ys, res, bounds)
+
+        runs = []  # (cell, enter_us, leave_us, n)
+        start = 0
+        for i in range(1, len(pdf) + 1):
+            if i == len(pdf) or cell[i] != cell[start]:
+                runs.append((int(cell[start]), int(t_us[start]), int(t_us[i - 1]), i - start))
+                start = i
+        closed = []
+        if state.exists:
+            s_cell, s_enter, s_leave, s_n = state.get
+            if runs and runs[0][0] == s_cell:
+                c, e, l, n = runs[0]
+                runs[0] = (c, s_enter, l, s_n + n)
+            else:
+                closed.append((s_cell, s_enter, s_leave, s_n))
+        closed.extend(runs[:-1])
+        if runs:
+            state.update(runs[-1])
+        out = pd.DataFrame(
+            {
+                cols.traj_id: [key[0]] * len(closed),
+                "cell": [c for c, *_ in closed],
+                "enter_t": pd.to_datetime([e for _, e, _, _ in closed], unit="us"),
+                "leave_t": pd.to_datetime([l for _, _, l, _ in closed], unit="us"),
+                "duration_s": [(l - e) / 1e6 for _, e, l, _ in closed],
+                "n_points": [n for *_, n in closed],
+            }
+        )
+        yield out
+
+    return stream.groupBy(cols.traj_id).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -120,3 +120,65 @@ def test_streaming_geofence_crossing_spans_micro_batches(spark, tmp_path):
     assert [(r["traj_id"], r["event"]) for r in batch] == [
         (r["traj_id"], r["event"]) for r in got
     ]
+
+
+def test_streaming_cell_visits_spans_batches(spark, tmp_path):
+    """A visit whose observations span two micro-batches is emitted once
+    with the batch-1 enter time; the still-open final visit never emits.
+    Closed visits match the batch operator's rows for the same input."""
+    import glob
+    import shutil
+
+    from movingspark import joins, streaming
+
+    BOUNDS16 = (0.0, 0.0, 16.0, 16.0)
+    b1 = _pts(
+        spark,
+        [
+            ("a", _ts(0), 1.0, 1.0),    # cell A, visit 1 opens
+            ("a", _ts(10), 1.5, 1.0),   # still cell A
+        ],
+    )
+    b2 = _pts(
+        spark,
+        [
+            ("a", _ts(20), 1.2, 1.2),   # STILL cell A (extends across batches)
+            ("a", _ts(30), 9.0, 1.0),   # cell B -> closes visit 1
+            ("a", _ts(40), 1.0, 1.0),   # cell A again -> closes visit 2
+        ],
+    )
+    src = str(tmp_path / "cv_src")
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        streaming.streaming_cell_visits(stream, res=3, bounds=BOUNDS16)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cv_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.sql("SELECT * FROM cv_test").collect(), key=lambda r: r["enter_t"]
+    )
+    # two CLOSED visits: A [0..20] (3 pts, spanning batches), B [30..30]
+    assert [((r["enter_t"] - E).total_seconds(), (r["leave_t"] - E).total_seconds(),
+             r["duration_s"], r["n_points"]) for r in got] == [
+        (0.0, 20.0, 20.0, 3),
+        (30.0, 30.0, 0.0, 1),
+    ]
+    # batch twin on the union: same closed visits (batch also reports the
+    # final open visit, which the stream by design does not)
+    batch = {
+        ((r["enter_t"] - E).total_seconds(), r["n_points"])
+        for r in joins.cell_visits(b1.unionByName(b2), res=3, bounds=BOUNDS16).collect()
+    }
+    assert {(0.0, 3), (30.0, 1)} <= batch and len(batch) == 3
