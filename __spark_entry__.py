@@ -3403,14 +3403,18 @@ FROM d
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the correctness driver checks the FIRST 50 dict
-    # entries each round. Round 3's run covered the 50 oldest; the 29
-    # entries below were verified green with the identical tool
-    # (tools/check_correctness.py, sf0.01) but had no driver row yet,
-    # so for round 4 they come first. The tail re-checks the most
-    # load-bearing of the already-driver-green set; r04 ∪ r03 covers
-    # the whole registry.
+    # entries each round. Round 4's 15 red rows were the pinned-oracle
+    # queries compared against the WRONG sf's pin set (fixed:
+    # pinned_params.DRIVER_SF now structurally selects the sf0.01 set);
+    # the engine output was verified byte-identical to the sf-matched
+    # pins. For round 5 those 15 come first so the driver re-records
+    # them green, followed by the 4 entries that have never had a
+    # driver row (they sat at positions 51-54 in r4's registry —
+    # outside the window). The remaining 31 slots re-check the r4-new
+    # operators plus the most load-bearing invariants; r03 ∪ r04 ∪ r05
+    # covers the whole registry.
     return {
-        # -- never driver-checked before r4 (all locally green) ----------
+        # -- the 15 r4-red pinned-oracle queries (sf-mispointing, fixed) --
         "overlay_clip": q_overlay_clip,
         "overlay_intersection": q_overlay_intersection,
         "split_angle": q_split_angle,
@@ -3418,29 +3422,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_smooth": q_kalman_smooth,
         "sig_points": q_sig_points,
         "cluster_centroids": q_cluster_centroids,
-        "mfjson_roundtrip": q_mfjson_roundtrip,
         "generalize_min_distance": q_generalize_min_distance,
         "generalize_min_timedelta": q_generalize_min_timedelta,
         "generalize_max_distance": q_generalize_max_distance,
         "generalize_tdtr": q_generalize_tdtr,
         "outlier_clean": q_outlier_clean,
-        "ann_topk_scale": q_ann_topk_scale,
-        "offset_minutes": q_offset_minutes,
-        "kinematics_latlon": q_kinematics_latlon,
-        "lang_stats": q_lang_stats,
-        "ann_cosine": q_ann_cosine,
-        "split_value_change": q_split_value_change,
-        "split_speed": q_split_speed,
-        "min_length_filter": q_min_length_filter,
-        "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "traj_export": q_traj_export,
         "mcp": q_mcp,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_features": q_media_features,
         "stop_points": q_stop_points,
         "generalize_dp": q_generalize_dp,
-        # -- new in r4 ----------------------------------------------------
+        # -- never driver-sampled (r4 positions 51-54; locally green) -----
+        "corridor_cells": q_corridor_cells,
+        "pipeline_tile_speed": q_pipeline_tile_speed,
+        "cell_visits": q_cell_visits,
+        "hotspot_gi": q_hotspot_gi,
+        # -- re-checks: r4-new operators + load-bearing invariants --------
+        "span_invariant": q_span_invariant,
+        "mfjson_roundtrip": q_mfjson_roundtrip,
         "tile_rollup_median": q_tile_rollup_median,
         "media_decode": q_media_decode,
         "dedup_lines": q_dedup_lines,
@@ -3462,12 +3459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "route_progress": q_route_progress,
         "speed_quantiles": q_speed_quantiles,
-        "corridor_cells": q_corridor_cells,
-        "pipeline_tile_speed": q_pipeline_tile_speed,
-        "cell_visits": q_cell_visits,
-        "hotspot_gi": q_hotspot_gi,
-        # -- most load-bearing re-checks (driver-green in r03) -----------
-        "span_invariant": q_span_invariant,
         "traj_construction": q_traj_construction,
         "derive_kinematics": q_derive_kinematics,
         "traj_summary": q_traj_summary,
@@ -3476,6 +3467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spatial_join": q_doc_spatial_join,
         "doc_tiling": q_doc_tiling,
         "tile_rollup_salted": q_tile_rollup_salted,
+        # ^^ the 50-entry driver window ends here (position 50).
+        # -- beyond the window: driver-green in r03/r04 -------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_components": q_dedup_components,
@@ -3518,6 +3511,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
         "winnow_near_dups": q_winnow_near_dups,
+        "ann_topk_scale": q_ann_topk_scale,
+        "offset_minutes": q_offset_minutes,
+        "kinematics_latlon": q_kinematics_latlon,
+        "lang_stats": q_lang_stats,
+        "ann_cosine": q_ann_cosine,
+        "split_value_change": q_split_value_change,
+        "split_speed": q_split_speed,
+        "min_length_filter": q_min_length_filter,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "traj_export": q_traj_export,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
     }
 
 

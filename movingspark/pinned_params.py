@@ -6,6 +6,16 @@ and __spark_entry__.py (the driver queries) — a drift between the two
 would make the oracle test a different computation than the query.
 """
 
+# The sf dir the correctness driver evaluates at. BOTH the pinned-oracle
+# generator (tools/gen_pinned_oracles.py) and the generated artifact
+# (movingspark/pinned_oracles_sf001.py, whose PINNED_SQL the driver
+# contract __spark_entry__.oracle_sql() exports) derive the primary pin
+# set from this one constant, so a regeneration with any sf-dir argument
+# order can never silently repoint what the driver sees (round-4 lesson:
+# a reorder of the generator's default args flipped PINNED_SQL to the
+# sf0.001 set and turned 15 driver rows red at sf0.01).
+DRIVER_SF = "/root/testdata/sf0.01"
+
 DP_TOLERANCE = 10.0
 STOP_MAX_DIAMETER = 50.0
 STOP_MIN_DURATION_S = 7200.0

@@ -499,24 +499,36 @@ def main():
     if args and args[-1].endswith(".py"):
         out_py = args[-1]
         args = args[:-1]
-    # default order matches the committed artifact: sf0.001 first, so a
-    # no-arg regeneration keeps PINNED_SQL (= sf_dirs[0]) and the header
-    # claim pointing at the same sf the artifact was generated with
-    sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    # The primary (driver-facing) set is ALWAYS pinned_params.DRIVER_SF —
+    # never derived from argument order. Round-4 regression: a default-arg
+    # reorder silently flipped PINNED_SQL to the sf0.001 set while the
+    # driver evaluated at sf0.01, turning 15 correct queries red.
+    from movingspark.pinned_params import DRIVER_SF
+
+    sf_dirs = args or [DRIVER_SF, "/root/testdata/sf0.001"]
+    if DRIVER_SF not in sf_dirs:
+        sys.exit(
+            f"refusing to generate: sf_dirs {sf_dirs} does not include "
+            f"DRIVER_SF {DRIVER_SF!r} — the driver's correctness sf must "
+            "always have a pin set"
+        )
     by_sf = {}
     stats = {}
     for sf_dir in sf_dirs:
         by_sf[sf_dir], stats[sf_dir] = build_sql(sf_dir)
-    primary = sf_dirs[0]
     with open(out_py, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_pinned_oracles.py — do not edit.\n\n'
             "Expected-output oracles for the sequential ops, one set per sf\n"
             f"dir {list(by_sf)}.\n"
-            f"PINNED_SQL is the {primary} set (the driver's correctness sf);\n"
-            "tools/check_correctness.py selects by sf_dir from\n"
-            'PINNED_SQL_BY_SF. Regenerate after changing the sequential\n'
-            'kernels or their query parameters (movingspark/pinned_params.py)."""\n\n'
+            "PINNED_SQL is the pinned_params.DRIVER_SF set (the driver's\n"
+            "correctness sf) by construction — resolved through the import\n"
+            "below, not baked in, so regenerating with any sf-dir argument\n"
+            "order cannot repoint it. tools/check_correctness.py selects by\n"
+            "sf_dir from PINNED_SQL_BY_SF. Regenerate after changing the\n"
+            "sequential kernels or their query parameters\n"
+            '(movingspark/pinned_params.py)."""\n\n'
+            "from movingspark.pinned_params import DRIVER_SF\n\n"
         )
         f.write("PINNED_SQL_BY_SF = {\n")
         for sf_dir, sqls in by_sf.items():
@@ -525,7 +537,7 @@ def main():
                 f.write(f"        {k!r}: {v!r},\n")
             f.write("    },\n")
         f.write("}\n\n")
-        f.write(f"PINNED_SQL = PINNED_SQL_BY_SF[{primary!r}]\n\n")
+        f.write("PINNED_SQL = PINNED_SQL_BY_SF[DRIVER_SF]\n\n")
         # fingerprint the input data: pinned values are only valid for the
         # exact parquet bytes they were generated from (round 4 lesson: a
         # driver testdata regeneration flipped a few float-boundary stops
