@@ -1192,23 +1192,29 @@ def q_corridor_cells(spark, sf_dir):
 
 
 def _corridor_cells_sql() -> str:
+    # Mirrors raster.corridor_cells OPERATION-FOR-OPERATION: crossing t
+    # values as ax + i*bx with per-row coefficients, midpoint cells as
+    # floor(gx0 + m*gxd) in grid space. Both engines execute the same
+    # IEEE double sequence, so boundary classifications stay identical.
     minx, miny, maxx, maxy = CELL_BOUNDS
     n = 1 << CELL_RES
     spanx, spany = maxx - minx, maxy - miny
     ix0, iy0 = cells.cell_ixiy_sql("x0", "y0", CELL_RES, CELL_BOUNDS)
     ix1, iy1 = cells.cell_ixiy_sql("x1", "y1", CELL_RES, CELL_BOUNDS)
 
-    def crossings(p0, p1, ilo, ihi, origin, span):
+    def crossings(p0, p1, a, b, ilo, ihi):
         return (
             f"CASE WHEN {p1} <> {p0} AND {ihi} > {ilo} THEN "
             f"list_transform(generate_series({ilo} + 1, {ihi}), "
-            f"i -> ({origin!r} + CAST(i AS DOUBLE) * {span!r} / {float(n)!r} - {p0}) / ({p1} - {p0})) "
+            f"i -> {a} + CAST(i AS DOUBLE) * {b}) "
             f"ELSE CAST([] AS DOUBLE[]) END"
         )
 
-    tx = crossings("x0", "x1", f"LEAST({ix0}, {ix1})", f"GREATEST({ix0}, {ix1})", float(minx), float(spanx))
-    ty = crossings("y0", "y1", f"LEAST({iy0}, {iy1})", f"GREATEST({iy0}, {iy1})", float(miny), float(spany))
-    px, py = "(x0 + m * (x1 - x0))", "(y0 + m * (y1 - y0))"
+    tx = crossings("x0", "x1", "ax", "bx", "cxlo", "cxhi")
+    ty = crossings("y0", "y1", "ay", "by", "cylo", "cyhi")
+    gx = f"LEAST(GREATEST(CAST(FLOOR(gx0 + m * gxd) AS BIGINT), 0), {n - 1})"
+    gy = f"LEAST(GREATEST(CAST(FLOOR(gy0 + m * gyd) AS BIGINT), 0), {n - 1})"
+    cell = f"COALESCE({cells.interleave_sql(gx, gy, CELL_RES)}, -1)"
     return f"""
 WITH seg AS (
   SELECT traj_id,
@@ -1216,18 +1222,30 @@ WITH seg AS (
   FROM ({EVENTS_POINTS_ORACLE_FULL})
   WINDOW w AS (PARTITION BY traj_id ORDER BY t)
 ),
-withts AS (
+coef AS (
   SELECT traj_id, x0, y0, x1, y1,
-         list_sort(list_concat(list_concat([0.0, 1.0], {tx}), {ty})) AS tlist
+         ({float(minx)!r} - x0) / NULLIF(x1 - x0, 0.0) AS ax, {spanx / n!r} / NULLIF(x1 - x0, 0.0) AS bx,
+         ({float(miny)!r} - y0) / NULLIF(y1 - y0, 0.0) AS ay, {spany / n!r} / NULLIF(y1 - y0, 0.0) AS by,
+         (x0 - {float(minx)!r}) / {float(spanx)!r} * {n} AS gx0,
+         (x1 - x0) / {float(spanx)!r} * {n} AS gxd,
+         (y0 - {float(miny)!r}) / {float(spany)!r} * {n} AS gy0,
+         (y1 - y0) / {float(spany)!r} * {n} AS gyd,
+         LEAST({ix0}, {ix1}) AS cxlo, GREATEST({ix0}, {ix1}) AS cxhi,
+         LEAST({iy0}, {iy1}) AS cylo, GREATEST({iy0}, {iy1}) AS cyhi
   FROM seg WHERE x0 IS NOT NULL
 ),
+withts AS (
+  SELECT traj_id, gx0, gxd, gy0, gyd,
+         list_sort(list_concat(list_concat([0.0, 1.0], {tx}), {ty})) AS tlist
+  FROM coef
+),
 mids AS (
-  SELECT traj_id, x0, y0, x1, y1,
+  SELECT traj_id, gx0, gxd, gy0, gyd,
          UNNEST(list_transform(generate_series(1, len(tlist) - 1),
                 j -> (tlist[j] + tlist[j + 1]) * 0.5)) AS m
   FROM withts
 )
-SELECT DISTINCT traj_id, {cells.cell_id_sql(px, py, CELL_RES, CELL_BOUNDS)} AS cell
+SELECT DISTINCT traj_id, {cell} AS cell
 FROM mids
 """
 
@@ -2406,12 +2424,22 @@ FROM sp
 
 def q_text_stats(spark, sf_dir):
     """Language-agnostic quality scoring: token count, char stats,
-    punctuation ratio, fingerprint (normalized md5)."""
+    punctuation ratio, fingerprint (normalized md5).
+
+    One regex pass per row: the \\s+ -> ' ' normalization is computed
+    once and shared by the fingerprint AND the token count (tokens =
+    space count + 1 on the trimmed normalized string — a non-regex
+    length difference, no array materialization), and the punctuation
+    count uses translate() (character-table scan) instead of a regex
+    class replace. The DuckDB oracle mirrors the same decomposition."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    norm = F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+    toks = F.when(F.length(norm) == 0, F.lit(1)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + F.lit(1)
+    )
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
-    fp = F.md5(_lower_ascii(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    n_punct = n_chars - F.length(F.translate(F.col("text"), ".,;:!?", ""))
+    fp = F.md5(_lower_ascii(norm))
     return docs.select(
         "doc_id",
         "lang",
@@ -2423,13 +2451,19 @@ def q_text_stats(spark, sf_dir):
 
 
 SQL_TEXT_STATS = f"""
+WITH n AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
 SELECT doc_id, lang,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CASE WHEN length(norm) = 0 THEN 1
+            ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END AS n_tokens,
        length(text) AS n_chars_actual,
-       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       ROUND(CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
              / length(text), {R}) AS punct_ratio,
-       md5(translate(regexp_replace(text, '\\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
-FROM documents
+       md5(translate(norm, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
+FROM n
 """
 
 

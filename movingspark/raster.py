@@ -241,7 +241,20 @@ def corridor_cells(
     its cell (midpoints are strictly inside one cell, so no boundary
     ambiguity). Cost is output-bound: O(cells crossed) per segment, the
     same bound as integer supercover DDA. One trajectory exchange (the
-    lag window), one distinct."""
+    lag window), one distinct.
+
+    Performance shape (Spark's higher-order functions are interpreted,
+    not codegen'd, so per-element lambda work dominates this operator's
+    CPU): every per-row quantity is materialized as a real column BEFORE
+    the transform()s — an outer sub-expression referenced inside a
+    lambda is re-evaluated per ELEMENT by the interpreter — reducing the
+    lambda bodies to fused multiply-adds against per-row coefficients
+    (crossing t = ax + i*bx; midpoint cell = floor(gx0 + m*gxd) in grid
+    space). The Morton interleave (3*res integer ops per cell) runs
+    AFTER the explode in whole-stage codegen over packed (ix<<res)|iy
+    longs instead of per array element in the interpreter. The DuckDB
+    oracle (__spark_entry__._corridor_cells_sql) mirrors the identical
+    IEEE operation order, so engine and oracle stay float-locked."""
     minx, miny, maxx, maxy = bounds
     n = 1 << res
     spanx, spany = maxx - minx, maxy - miny
@@ -259,44 +272,59 @@ def corridor_cells(
     )
     ix0, iy0 = cells.cell_ixiy_expr(F.col("x0"), F.col("y0"), res, bounds)
     ix1, iy1 = cells.cell_ixiy_expr(F.col("x1"), F.col("y1"), res, bounds)
+    dx, dy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
+    coef = seg.select(
+        cols.traj_id,
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        # crossing t at interior grid line i is ax + i*bx (ay + i*by);
+        # nullif keeps ANSI mode from raising on zero-length axes — the
+        # null coefficients are unreachable behind the p1 != p0 guard
+        ((F.lit(float(minx)) - F.col("x0")) / F.nullif(dx, F.lit(0.0))).alias("ax"),
+        (F.lit(spanx / n) / F.nullif(dx, F.lit(0.0))).alias("bx"),
+        ((F.lit(float(miny)) - F.col("y0")) / F.nullif(dy, F.lit(0.0))).alias("ay"),
+        (F.lit(spany / n) / F.nullif(dy, F.lit(0.0))).alias("by"),
+        # grid-space segment: g(m) = g0 + m*gd, one fused multiply-add
+        # per midpoint instead of point-space interpolation + rescale
+        ((F.col("x0") - F.lit(float(minx))) / F.lit(spanx) * F.lit(n)).alias("gx0"),
+        (dx / F.lit(spanx) * F.lit(n)).alias("gxd"),
+        ((F.col("y0") - F.lit(float(miny))) / F.lit(spany) * F.lit(n)).alias("gy0"),
+        (dy / F.lit(spany) * F.lit(n)).alias("gyd"),
+        F.least(ix0, ix1).alias("cxlo"),
+        F.greatest(ix0, ix1).alias("cxhi"),
+        F.least(iy0, iy1).alias("cylo"),
+        F.greatest(iy0, iy1).alias("cyhi"),
+    )
 
-    def crossings(lo, hi, p0, p1, origin, span):
-        # t at interior grid lines i in (lo, hi]: (origin + i*span/n - p0)/(p1 - p0)
+    def crossings(lo, hi, a, b, p0, p1):
         return F.when(
             (p1 != p0) & (hi > lo),
             F.transform(
                 F.sequence(lo + F.lit(1).cast("long"), hi),
-                lambda i: (
-                    F.lit(float(origin))
-                    + i.cast("double") * F.lit(span) / F.lit(float(n))
-                    - p0
-                )
-                / (p1 - p0),
+                lambda i: a + i.cast("double") * b,
             ),
         ).otherwise(F.array().cast("array<double>"))
 
-    tx = crossings(
-        F.least(ix0, ix1), F.greatest(ix0, ix1), F.col("x0"), F.col("x1"), minx, spanx
-    )
-    ty = crossings(
-        F.least(iy0, iy1), F.greatest(iy0, iy1), F.col("y0"), F.col("y1"), miny, spany
-    )
+    tx = crossings(F.col("cxlo"), F.col("cxhi"), F.col("ax"), F.col("bx"), F.col("x0"), F.col("x1"))
+    ty = crossings(F.col("cylo"), F.col("cyhi"), F.col("ay"), F.col("by"), F.col("y0"), F.col("y1"))
     ts = F.array_sort(F.concat(F.array(F.lit(0.0), F.lit(1.0)), tx, ty))
-    k = F.size(ts)
-    mids = F.zip_with(
-        F.slice(ts, 1, k - 1), F.slice(ts, 2, k - 1), lambda a, b: (a + b) * F.lit(0.5)
-    )
-    cell_of = lambda m: cells.cell_id_expr(
-        F.col("x0") + m * (F.col("x1") - F.col("x0")),
-        F.col("y0") + m * (F.col("y1") - F.col("y0")),
-        res,
-        bounds,
-    )
-    arr = F.array_distinct(F.transform(mids, cell_of))
-    return (
-        seg.select(cols.traj_id, F.explode(arr).alias("cell"))
-        .distinct()
-    )
+    withts = coef.select(cols.traj_id, "gx0", "gxd", "gy0", "gyd", ts.alias("ts"))
+    k = F.size(F.col("ts"))
+
+    def packed_cell(j):
+        m = (F.element_at(F.col("ts"), j) + F.element_at(F.col("ts"), j + F.lit(1))) * F.lit(0.5)
+        gx = F.least(F.greatest(F.floor(F.col("gx0") + m * F.col("gxd")), F.lit(0)), F.lit(n - 1))
+        gy = F.least(F.greatest(F.floor(F.col("gy0") + m * F.col("gyd")), F.lit(0)), F.lit(n - 1))
+        return F.shiftleft(gx, res) + gy
+
+    codes = F.transform(F.sequence(F.lit(1), k - F.lit(1)), packed_cell)
+    exploded = withts.select(cols.traj_id, F.explode(codes).alias("code"))
+    gx = F.shiftright(F.col("code"), res)
+    gy = F.col("code").bitwiseAND(F.lit(n - 1))
+    cell = F.coalesce(cells.interleave_expr(gx, gy, res), F.lit(-1).cast("long"))
+    return exploded.select(cols.traj_id, cell.alias("cell")).distinct()
 
 
 def hotspot_gi(
