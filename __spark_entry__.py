@@ -3436,6 +3436,26 @@ FROM d
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver registry: one entry per operator/query from SURVEY.md §2.
+
+    Streaming/batch evidence mapping — the structured-streaming surface
+    (movingspark/streaming.py) cannot run under the driver's batch
+    oracle harness, so its correctness evidence is carried by (a) real
+    readStream pytest runs (tests/test_smooth_streaming.py,
+    tests/test_streaming_state.py) and (b) the oracle-checked BATCH
+    twin of each stateful operator, which shares the same kernel or
+    emits the same rows by construction:
+
+      streaming_kinematics  -> derive_kinematics  (same column algebra)
+      streaming_stops       -> stop_points        (same stop kernel)
+      streaming_tile_rollup -> tile_rollup        (same cell rollup)
+      streaming_geofence    -> geofence_events    (same enter/exit rows)
+      streaming_cell_visits -> cell_visits        (same visit ledger)
+      streaming_dedup       -> dedup_exact        (same fingerprint,
+                                                   same survivor rule)
+      gap_sessions is both: the batch query here IS the session-window
+      computation the stream runs.
+    """
     # Ordering note: the correctness driver checks the FIRST 50 dict
     # entries each round. Round 4's 15 red rows were the pinned-oracle
     # queries compared against the WRONG sf's pin set (fixed:

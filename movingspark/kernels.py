@@ -295,6 +295,46 @@ def angular_difference(d1, d2):
 
 
 # --------------------------------------------------------------------------
+# EPSG:3395 World Mercator (WGS84 ellipsoid)
+# --------------------------------------------------------------------------
+
+_WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+_WGS84_E = float(np.sqrt(_WGS84_E2))
+
+
+def mercator_forward(lon_deg, lat_deg):
+    """EPSG:3395 forward projection: (lon, lat) degrees -> (x, y) meters.
+
+    x = a*lambda; y = a*(atanh(sin phi) - e*atanh(e*sin phi)) — the
+    ellipsoidal Mercator in closed atanh form (equivalent to Snyder
+    1987 eq. 7-7's log/tan form). This is the metric frame the
+    reference's KalmanSmootherCV filters latlon trajectories in
+    (trajectory_smoother.py:197-233 reprojects through EPSG:3395
+    before smoothing and back after)."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    s = np.sin(np.radians(np.asarray(lat_deg, dtype=np.float64)))
+    x = WGS84_A * lon
+    y = WGS84_A * (np.arctanh(s) - _WGS84_E * np.arctanh(_WGS84_E * s))
+    return x, y
+
+
+def mercator_inverse(x, y, iterations=12):
+    """EPSG:3395 inverse projection: (x, y) meters -> (lon, lat) degrees.
+
+    Fixed-point iteration on sin(phi) = tanh(psi + e*atanh(e*sin(phi)))
+    where psi = y/a is the isometric latitude; the contraction factor is
+    e^2 ~ 0.0067 per step, so 12 iterations converge far below double
+    precision. Round-trips mercator_forward to < 1e-12 degrees."""
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / WGS84_A)
+    psi = np.asarray(y, dtype=np.float64) / WGS84_A
+    s = np.tanh(psi)
+    for _ in range(iterations):
+        s = np.tanh(psi + _WGS84_E * np.arctanh(_WGS84_E * s))
+    lat = np.degrees(np.arcsin(s))
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
 # hulls / rectangles
 # --------------------------------------------------------------------------
 

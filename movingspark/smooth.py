@@ -7,10 +7,13 @@ F_dt = [[1, dt], [0, 1]] per axis, process noise = white-acceleration
 model q * [[dt^3/3, dt^2/2], [dt^2/2, dt]], measurement = position
 with variance r. Runs per trajectory as a grouped-map pandas UDF.
 
-Lat/lon trajectories are smoothed in a local equirectangular meter
-frame around the trajectory centroid (the reference reprojects through
-EPSG:3395; both are thin cylindrical approximations — values agree to
-the noise scale, and the reference pins no exact numbers for this op).
+Lat/lon trajectories are smoothed in the EPSG:3395 World Mercator
+metric frame — the same projection the reference passes latlon
+trajectories through before filtering and back after
+(trajectory_smoother.py:197-233, df.to_crs("EPSG:3395") ... to_crs
+back) — via kernels.mercator_forward/mercator_inverse, so the latlon
+path carries the reference's semantics rather than a local
+equirectangular approximation.
 """
 
 from __future__ import annotations
@@ -19,7 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from movingspark.schema import PointCols, TRAJ_COLS, R_EARTH
+from movingspark import kernels
+from movingspark.schema import PointCols, TRAJ_COLS
 
 
 def _kf_rts_1d(z: np.ndarray, dts: np.ndarray, q: float, r: float):
@@ -85,13 +89,10 @@ def kalman_smooth(
         x = pdf[cols.x].to_numpy(float)
         y = pdf[cols.y].to_numpy(float)
         if latlon:
-            lat0 = np.radians(y.mean())
-            mx = np.radians(x) * np.cos(lat0) * R_EARTH
-            my = np.radians(y) * R_EARTH
+            mx, my = kernels.mercator_forward(x, y)
             sx = _kf_rts_1d(mx, dts, q, r)
             sy = _kf_rts_1d(my, dts, q, r)
-            pdf[cols.x] = np.degrees(sx / (np.cos(lat0) * R_EARTH))
-            pdf[cols.y] = np.degrees(sy / R_EARTH)
+            pdf[cols.x], pdf[cols.y] = kernels.mercator_inverse(sx, sy)
         else:
             pdf[cols.x] = _kf_rts_1d(x, dts, q, r)
             pdf[cols.y] = _kf_rts_1d(y, dts, q, r)

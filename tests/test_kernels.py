@@ -186,3 +186,42 @@ def test_geodesic_antipodal_no_spherical_fallback():
             # Newton from swapped endpoints converges to the same root
             # within its 1e-11 rad landing tolerance (~1e-7 m here)
             assert abs(d1 - d2) < 1e-5, (lat, dlon, d1 - d2)
+
+
+def test_mercator_3395_forward_against_independent_formula():
+    """The atanh closed form must equal Snyder 1987 eq. 7-7's log/tan
+    form — algebraically identical, different float path, so agreement
+    is an independent cross-check of the implementation."""
+    import numpy as np
+
+    from movingspark.kernels import _WGS84_E, mercator_forward
+    from movingspark.schema import WGS84_A
+
+    lats = np.array([-85.0, -60.0, -33.3, 0.0, 12.5, 45.0, 71.25, 84.9])
+    lons = np.array([-179.0, -90.0, -1.0, 0.0, 0.1, 44.0, 120.0, 179.9])
+    x, y = mercator_forward(lons, lats)
+    assert np.allclose(x, WGS84_A * np.radians(lons), rtol=0, atol=1e-9)
+    phi = np.radians(lats)
+    e = _WGS84_E
+    y_snyder = WGS84_A * np.log(
+        np.tan(np.pi / 4 + phi / 2)
+        * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+    )
+    assert np.allclose(y, y_snyder, rtol=0, atol=1e-6)  # meters
+    # symmetry + published full-extent easting (a*pi)
+    assert abs(float(mercator_forward(180.0, 0.0)[0]) - 20037508.342789244) < 1e-6
+    ys = mercator_forward(np.zeros(3), np.array([0.0, 30.0, -30.0]))[1]
+    assert ys[0] == 0.0 and abs(ys[1] + ys[2]) < 1e-9
+
+
+def test_mercator_3395_roundtrip():
+    import numpy as np
+
+    from movingspark.kernels import mercator_forward, mercator_inverse
+
+    rng = np.random.RandomState(7)
+    lons = rng.uniform(-180, 180, 200)
+    lats = rng.uniform(-85, 85, 200)
+    lon2, lat2 = mercator_inverse(*mercator_forward(lons, lats))
+    assert np.allclose(lon2, lons, rtol=0, atol=1e-12)
+    assert np.allclose(lat2, lats, rtol=0, atol=1e-12)

@@ -297,3 +297,41 @@ def test_route_progress_and_corridor_exprs_on_stream(spark, tmp_path):
     got = sorted(key(r) for r in spark.sql("SELECT * FROM rp_stream").collect())
     batch = sorted(key(r) for r in pairs.route_progress(df, route).collect())
     assert got == batch and len(got) == 4
+
+
+def test_kalman_latlon_filters_in_epsg3395_metric_space(spark):
+    """Reference semantics (trajectory_smoother.py:197-233): latlon
+    trajectories are reprojected through EPSG:3395 (World Mercator),
+    filtered in that metric frame, and projected back. The distributed
+    latlon path must equal composing the pieces by hand: project the
+    raw points with kernels.mercator_forward, run the planar
+    _kf_rts_1d kernel, invert with mercator_inverse."""
+    import numpy as np
+
+    from movingspark.kernels import mercator_forward, mercator_inverse
+    from movingspark.smooth import _kf_rts_1d
+
+    rng = np.random.RandomState(11)
+    n = 40
+    lons = 10.0 + np.arange(n) * 0.001 + rng.randn(n) * 1e-4
+    lats = 50.0 + np.arange(n) * 0.0005 + rng.randn(n) * 1e-4
+    rows = [
+        (1, f"2020-01-01T00:{i // 60:02d}:{i % 60:02d}", float(lons[i]), float(lats[i]))
+        for i in range(n)
+    ]
+    df = rows_to_points(spark, rows)
+    out = smooth.kalman_smooth(
+        df, process_noise_std=0.5, measurement_noise_std=1.0, latlon=True
+    ).orderBy("t").collect()
+    got = np.array([(r["x"], r["y"]) for r in out])
+
+    mx, my = mercator_forward(lons, lats)
+    dts = np.diff(np.arange(n, dtype=float), prepend=0.0)
+    sx = _kf_rts_1d(mx, dts, 0.25, 1.0)
+    sy = _kf_rts_1d(my, dts, 0.25, 1.0)
+    elon, elat = mercator_inverse(sx, sy)
+    assert np.allclose(got[:, 0], elon, rtol=0, atol=1e-12)
+    assert np.allclose(got[:, 1], elat, rtol=0, atol=1e-12)
+    # and it actually denoised: smoothed path closer to the true line
+    true_lon = 10.0 + np.arange(n) * 0.001
+    assert np.abs(got[:, 0] - true_lon).mean() < np.abs(lons - true_lon).mean()
