@@ -3405,6 +3405,58 @@ def q_kinematics_latlon(spark, sf_dir):
     return out
 
 
+def q_reproject_3395(spark, sf_dir):
+    """CRS reprojection — the reference's to_crs analogue for the pair
+    its own operators use (trajectory.py:176-192 CRS plumbing;
+    trajectory_smoother.py:197-233 EPSG:3395 round-trip): events mapped
+    into valid lon/lat, forward-projected to World Mercator meters and
+    inverse-projected back, both directions pure-codegen zero-shuffle
+    maps (movingspark/crs.py). Meter outputs at 2dp (~2e7 magnitude —
+    centimeter grid keeps the tie margin far above JVM-vs-C ln/exp
+    ulps), round-tripped degrees at 2dp-equivalent safety via _round2."""
+    from movingspark import crs
+
+    pts = _events(spark, sf_dir).select(
+        "traj_id",
+        "t",
+        (F.col("x") * 1.2 - 150.0).alias("lon"),
+        (F.col("y") * 0.8 - 40.0).alias("lat"),
+    )
+    fwd = crs.to_mercator(pts, "lon", "lat", "x_merc", "y_merc")
+    out = crs.from_mercator(fwd, "x_merc", "y_merc", "lon_rt", "lat_rt")
+    out = out.select("traj_id", "t", "lon", "lat", "x_merc", "y_merc", "lon_rt", "lat_rt")
+    for c in ("x_merc", "y_merc"):
+        out = out.withColumn(c, F.round(F.col(c), 2) + F.lit(0.0))
+    return _round2(out, ["lon_rt", "lat_rt"])
+
+
+def _reproject_3395_sql() -> str:
+    from movingspark import crs
+
+    x_sql, y_sql = crs.mercator_xy_sql("lon", "lat")
+    ctes, lon_rt, lat_rt = crs.mercator_inverse_sql_ctes("x_merc", "y_merc", "pts")
+    return f"""
+WITH ll AS (
+  SELECT traj_id, t, x * 1.2 - 150.0 AS lon, y * 0.8 - 40.0 AS lat
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+pts AS (
+  SELECT traj_id, t, lon, lat, {x_sql} AS x_merc, {y_sql} AS y_merc
+  FROM ll
+),
+{ctes}
+SELECT traj_id, t, lon, lat,
+       ROUND(x_merc, 2) + 0.0 AS x_merc,
+       ROUND(y_merc, 2) + 0.0 AS y_merc,
+       ROUND(ROUND({lon_rt}, 9), {R}) + 0.0 AS lon_rt,
+       ROUND(ROUND({lat_rt}, 9), {R}) + 0.0 AS lat_rt
+FROM __m{crs._INVERSE_ITERS + 1}
+"""
+
+
+SQL_REPROJECT_3395 = _reproject_3395_sql()
+
+
 SQL_KINEMATICS_LATLON = f"""
 WITH pts AS (
   SELECT traj_id, t, x AS lon, y * 0.8 - 40.0 AS lat, epoch_us(t) AS us
@@ -3489,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_tile_speed": q_pipeline_tile_speed,
         "cell_visits": q_cell_visits,
         "hotspot_gi": q_hotspot_gi,
+        # -- new in r5 ----------------------------------------------------
+        "reproject_3395": q_reproject_3395,
         # -- re-checks: r4-new operators + load-bearing invariants --------
         "span_invariant": q_span_invariant,
         "mfjson_roundtrip": q_mfjson_roundtrip,
@@ -3520,9 +3574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "doc_spatial_join": q_doc_spatial_join,
         "doc_tiling": q_doc_tiling,
-        "tile_rollup_salted": q_tile_rollup_salted,
         # ^^ the 50-entry driver window ends here (position 50).
         # -- beyond the window: driver-green in r03/r04 -------------------
+        "tile_rollup_salted": q_tile_rollup_salted,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_components": q_dedup_components,
@@ -3627,6 +3681,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_tile_speed": SQL_PIPELINE_TILE_SPEED,
         "cell_visits": SQL_CELL_VISITS,
         "hotspot_gi": SQL_HOTSPOT_GI,
+        "reproject_3395": SQL_REPROJECT_3395,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
