@@ -1375,6 +1375,56 @@ GROUP BY 1, 2
 """
 
 
+CONVOY_MAX_DIST = 6.0
+CONVOY_EPOCH_S = 86400.0
+CONVOY_MIN_EPOCHS = 3
+CONVOY_RES = 4  # cell 16x8 at CELL_BOUNDS — one neighbor ring covers 6.0
+
+
+def q_convoy_pairs(spark, sf_dir):
+    """Convoy detection (co-movement mining, movingspark/convoy.py):
+    trajectory pairs within 6.0 units of each other in >= 3 CONSECUTIVE
+    day epochs. Per-epoch grid-bucketed pair join (9-way one-sided
+    replication, epochs join exactly — never all-pairs) + one run-length
+    window; integer outputs, engine-exact. The oracle is DuckDB's
+    brute-force within-epoch pair join over the same points."""
+    from movingspark import convoy
+
+    pts = _events(spark, sf_dir).select("traj_id", "t", "x", "y")
+    return convoy.convoy_pairs(
+        pts,
+        CONVOY_MAX_DIST,
+        CONVOY_EPOCH_S,
+        CONVOY_MIN_EPOCHS,
+        res=CONVOY_RES,
+        bounds=CELL_BOUNDS,
+    )
+
+
+SQL_CONVOY_PAIRS = f"""
+WITH pts AS (
+  SELECT traj_id, CAST(FLOOR(epoch_us(t) / {int(CONVOY_EPOCH_S * 1_000_000)}) AS BIGINT) AS e, x, y
+  FROM ({EVENTS_POINTS_ORACLE_FULL})
+),
+tog AS (
+  SELECT DISTINCT a.traj_id AS traj_a, b.traj_id AS traj_b, a.e
+  FROM pts a JOIN pts b
+    ON a.e = b.e AND a.traj_id < b.traj_id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {CONVOY_MAX_DIST * CONVOY_MAX_DIST}
+),
+runs AS (
+  SELECT traj_a, traj_b, e,
+         e - ROW_NUMBER() OVER (PARTITION BY traj_a, traj_b ORDER BY e) AS g
+  FROM tog
+),
+rl AS (SELECT traj_a, traj_b, g, COUNT(*) AS len FROM runs GROUP BY 1, 2, 3)
+SELECT traj_a, traj_b,
+       CAST(MAX(len) AS BIGINT) AS max_run,
+       CAST(SUM(len) AS BIGINT) AS n_epochs
+FROM rl GROUP BY 1, 2 HAVING MAX(len) >= {CONVOY_MIN_EPOCHS}
+"""
+
+
 ASOF_TOLERANCE_S = 12 * 3600
 
 
@@ -3543,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         # -- new in r5 ----------------------------------------------------
         "reproject_3395": q_reproject_3395,
+        "convoy_pairs": q_convoy_pairs,
         # -- re-checks: r4-new operators + load-bearing invariants --------
         "span_invariant": q_span_invariant,
         "mfjson_roundtrip": q_mfjson_roundtrip,
@@ -3573,9 +3624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_gap": q_split_gap,
         "point_in_polygon": q_point_in_polygon,
         "doc_spatial_join": q_doc_spatial_join,
-        "doc_tiling": q_doc_tiling,
         # ^^ the 50-entry driver window ends here (position 50).
         # -- beyond the window: driver-green in r03/r04 -------------------
+        "doc_tiling": q_doc_tiling,
         "tile_rollup_salted": q_tile_rollup_salted,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_banded": q_dedup_minhash_banded,
@@ -3682,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_visits": SQL_CELL_VISITS,
         "hotspot_gi": SQL_HOTSPOT_GI,
         "reproject_3395": SQL_REPROJECT_3395,
+        "convoy_pairs": SQL_CONVOY_PAIRS,
         "point_in_polygon": SQL_POINT_IN_POLYGON,
         "intersecting_trajs": SQL_INTERSECTING_TRAJS,
         "intersecting_trajs_line": SQL_INTERSECTING_TRAJS_LINE,
